@@ -1,0 +1,142 @@
+"""Host-side batching + double-buffered device prefetch.
+
+Replaces the reference's torch DataLoader with worker processes
+(`trainer_complete.py:39-42`) with a TPU-idiomatic pipeline: numpy collation
+on host, `jax.device_put` with an explicit `NamedSharding` for the batch
+axis, and a one-deep prefetch queue so host packing overlaps device compute.
+"""
+from __future__ import annotations
+
+import os
+import queue
+import threading
+
+import numpy as np
+
+import jax
+
+
+def parse_splits_list(splits) -> list[str]:
+    """Expand .txt split files into a list of info-JSON names
+    (`dataset/data_utils.py:28-46`)."""
+    if isinstance(splits, str):
+        splits = splits.split()
+    info_files: list[str] = []
+    for split in splits:
+        ext = os.path.splitext(split)[1]
+        if ext == ".json":
+            info_files.append(split)
+        elif ext == ".txt":
+            with open(split) as f:
+                info_files += [line.rstrip() for line in f]
+        else:
+            raise NotImplementedError(f"{split} not a valid info_file type")
+    return info_files
+
+
+def collate(samples: list[dict]) -> dict:
+    """Stack a list of per-sample dicts into a batch dict.
+
+    Array fields stack along a new leading axis; 'name' stays a list.
+    """
+    batch: dict = {}
+    for key in samples[0]:
+        vals = [s[key] for s in samples]
+        if isinstance(vals[0], np.ndarray):
+            batch[key] = np.stack(vals)
+        else:
+            batch[key] = vals
+    return batch
+
+
+class DataLoader:
+    """Minimal batched loader: shuffling, drop_last, optional device prefetch."""
+
+    def __init__(self, dataset, batch_size: int, shuffle: bool = False,
+                 drop_last: bool = False, seed: int = 0,
+                 sharding=None, prefetch: bool = True):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.rng = np.random.default_rng(seed)
+        self.sharding = sharding
+        self.prefetch = prefetch
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def _batches(self):
+        order = np.arange(len(self.dataset))
+        if self.shuffle:
+            self.rng.shuffle(order)
+        for start in range(0, len(order), self.batch_size):
+            idx = order[start:start + self.batch_size]
+            if self.drop_last and len(idx) < self.batch_size:
+                return
+            samples = [self.dataset[int(i)] for i in idx]
+            yield collate(samples)
+
+    def _put(self, batch: dict) -> dict:
+        if self.sharding is None:
+            return batch
+        out = {}
+        for key, value in batch.items():
+            if isinstance(value, np.ndarray):
+                out[key] = jax.device_put(value, self.sharding)
+            else:
+                out[key] = value
+        return out
+
+    def __iter__(self):
+        if not self.prefetch:
+            for batch in self._batches():
+                yield self._put(batch)
+            return
+
+        # One-deep producer thread: packs + transfers the next batch while
+        # the consumer computes on the current one.
+        q: queue.Queue = queue.Queue(maxsize=2)
+        sentinel = object()
+
+        def producer():
+            try:
+                for batch in self._batches():
+                    q.put(self._put(batch))
+            finally:
+                q.put(sentinel)
+
+        thread = threading.Thread(target=producer, daemon=True)
+        thread.start()
+        while True:
+            item = q.get()
+            if item is sentinel:
+                break
+            yield item
+        thread.join()
+
+
+def pad_batch_to(batch: dict, batch_size: int) -> tuple[dict, np.ndarray]:
+    """Pad a short final batch up to `batch_size` by repeating row 0.
+
+    Returns (padded_batch, valid_mask). Keeps shapes static for jit while the
+    valid mask lets metric code ignore the filler rows.
+    """
+    some = next(v for v in batch.values() if isinstance(v, np.ndarray))
+    n = some.shape[0]
+    valid = np.zeros(batch_size, dtype=bool)
+    valid[:n] = True
+    if n == batch_size:
+        return batch, valid
+    out = {}
+    for key, value in batch.items():
+        if isinstance(value, np.ndarray):
+            reps = np.concatenate(
+                [value, np.repeat(value[:1], batch_size - n, axis=0)])
+            out[key] = reps
+        else:
+            out[key] = value
+    return out, valid

@@ -1,0 +1,317 @@
+"""KV-cached autoregressive shape-program decoding.
+
+TPU-native replacement for the reference's eval loop (`plankassembly/
+models.py:267-323`), which re-runs the full decoder over the whole prefix
+every step (O(T^3) per sequence, no cache). Here:
+
+- the encoder runs once; per-layer cross-attention K/V are precomputed;
+- decoder self-attention K/V and final hidden states are cached in
+  fixed-size buffers (static shapes);
+- the loop is a `jax.lax.while_loop` with a static 128-step bound and a
+  per-sequence done flag, exiting early when every sequence has emitted END
+  (mirroring `models.py:306-307`);
+- pointer tokens resolve to copied values with on-device gathers
+  (`_sample`, `models.py:235-256`), and the structural pointer legality mask
+  (`models.py:91-101,168-186`) is precomputed as a constant.
+
+Sampling semantics replicate the reference eval branch of `_create_dist`
+exactly, including its quirks: for prefix length < 6 the distribution is the
+plain vocab softmax; otherwise vocab scales by (1-p), pointer by p, the triu
+mask (j >= t) zeroes pointer probabilities pre-softmax, and structurally
+illegal pointer slots are *filled with eps=1e-6* rather than zero
+(`models.py:183-184`).
+"""
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from plankassembly_tpu.models.model import (
+    ModelDims,
+    NEG_INF,
+    encode,
+    layer_norm,
+    pointer_structure_mask,
+)
+
+EPS = 1e-6
+
+
+def _project(h, w, b, B, H, Dh, cd):
+    out = h.astype(cd) @ w.astype(cd) + b.astype(cd)
+    return out.reshape(B, -1, H, Dh)
+
+
+def precompute_cross_kv(params, memory, dims: ModelDims, compute_dtype):
+    """Per-layer cross-attention K/V over the encoder memory, stacked on a
+    leading layer axis: (Ld, B, Li, H, Dh)."""
+    B = memory.shape[0]
+    H, Dh = dims.num_head, dims.head_dim
+    ca = params["decoder"]["cross_attn"]
+
+    def one_layer(lp):
+        k = _project(memory, lp["wk"], lp["bk"], B, H, Dh, compute_dtype)
+        v = _project(memory, lp["wv"], lp["bv"], B, H, Dh, compute_dtype)
+        return k, v
+
+    return jax.vmap(one_layer)(ca)
+
+
+@partial(jax.jit, static_argnames=("dims", "compute_dtype"))
+def greedy_decode(params, batch, dims: ModelDims, compute_dtype=jnp.bfloat16):
+    """Batched greedy decode. Returns dict with:
+      samples (B, S) int32 generated tokens,
+      attach  (B, S) int32 pointer indices (-1 = none),
+      num_steps () int32 — steps actually executed (early exit diagnostic).
+    """
+    cd = compute_dtype
+    S = dims.max_output_length
+    H, Dh, D = dims.num_head, dims.head_dim, dims.num_model
+    dof = dims.num_output_dof
+
+    inputs = {k: v for k, v in batch.items() if k.startswith("input")}
+    memory = encode(params, inputs, dims, deterministic=True, compute_dtype=cd)
+    B = memory.shape[0]
+
+    cross_k, cross_v = precompute_cross_kv(params, memory, dims, cd)
+    cross_bias = jnp.where(inputs["input_mask"], NEG_INF, 0.0)[:, None, None, :]
+    cross_bias = cross_bias.astype(jnp.float32)
+
+    dec = params["decoder"]
+    layer_params = {k: v for k, v in dec.items() if k != "final_norm"}
+    heads = params["heads"]
+
+    struct = jnp.asarray(pointer_structure_mask(dims))  # (S, S) {0,1}
+    scale = 1.0 / math.sqrt(Dh)
+
+    k_cache0 = jnp.zeros((dims.num_decoder_layers, B, S, H, Dh), cd)
+    v_cache0 = jnp.zeros((dims.num_decoder_layers, B, S, H, Dh), cd)
+    h_cache0 = jnp.zeros((B, S, D), jnp.float32)
+    output0 = jnp.zeros((B, S), jnp.int32)
+    attach0 = jnp.full((B, S), -1, jnp.int32)
+    done0 = jnp.zeros((B,), bool)
+
+    emb = params["embed"]
+
+    def step(carry):
+        t, output, attach, done, k_cache, v_cache, h_cache = carry
+
+        # --- embed decoder input at position t (`models.py:114-138`) ---
+        prev = output[:, jnp.maximum(t - 1, 0)]
+        tok_embed = (emb["value"][prev]
+                     + emb["coord_out"][(t - 1) % dof][None, :]
+                     + emb["pos_out"][(t - 1) // dof][None, :])
+        x = jnp.where(t == 0, 0.0, tok_embed)[:, None, :]  # (B, 1, D)
+
+        pos = jnp.arange(S)
+        self_bias = jnp.where(pos <= t, 0.0, NEG_INF)[None, None, None, :]
+
+        def layer_body(x, xs):
+            lp, kc, vc, ck, cv = xs
+            # self-attention with cache append
+            h = layer_norm(lp["norm1"], x)
+            sa = lp["self_attn"]
+            q = _project(h, sa["wq"], sa["bq"], B, H, Dh, cd)
+            k_t = _project(h, sa["wk"], sa["bk"], B, H, Dh, cd)
+            v_t = _project(h, sa["wv"], sa["bv"], B, H, Dh, cd)
+            kc = jax.lax.dynamic_update_slice(kc, k_t, (0, t, 0, 0))
+            vc = jax.lax.dynamic_update_slice(vc, v_t, (0, t, 0, 0))
+            scores = jnp.einsum("bqhd,bkhd->bhqk", q, kc,
+                                preferred_element_type=jnp.float32) * scale
+            w = jax.nn.softmax(scores + self_bias, axis=-1)
+            a = jnp.einsum("bhqk,bkhd->bqhd", w.astype(cd), vc,
+                           preferred_element_type=jnp.float32)
+            a = a.reshape(B, 1, D).astype(cd) @ sa["wo"].astype(cd) + sa["bo"].astype(cd)
+            x = x + a.astype(x.dtype)
+
+            # cross-attention against precomputed K/V
+            h = layer_norm(lp["norm2"], x)
+            ca = lp["cross_attn"]
+            q2 = _project(h, ca["wq"], ca["bq"], B, H, Dh, cd)
+            scores = jnp.einsum("bqhd,bkhd->bhqk", q2, ck,
+                                preferred_element_type=jnp.float32) * scale
+            w = jax.nn.softmax(scores + cross_bias, axis=-1)
+            c = jnp.einsum("bhqk,bkhd->bqhd", w.astype(cd), cv,
+                           preferred_element_type=jnp.float32)
+            c = c.reshape(B, 1, D).astype(cd) @ ca["wo"].astype(cd) + ca["bo"].astype(cd)
+            x = x + c.astype(x.dtype)
+
+            # feed-forward
+            h = layer_norm(lp["norm3"], x)
+            f = lp["ffn"]
+            z = jax.nn.relu(h.astype(cd) @ f["w1"].astype(cd) + f["b1"].astype(cd))
+            z = z @ f["w2"].astype(cd) + f["b2"].astype(cd)
+            x = x + z.astype(x.dtype)
+            return x, (kc, vc)
+
+        x, (k_cache, v_cache) = jax.lax.scan(
+            layer_body, x, (layer_params, k_cache, v_cache, cross_k, cross_v))
+
+        h_t = layer_norm(dec["final_norm"], x)[:, 0].astype(jnp.float32)  # (B, D)
+        h_cache = jax.lax.dynamic_update_slice(h_cache, h_t[:, None], (0, t, 0))
+
+        # --- mixed vocab ‖ pointer distribution (`models.py:168-186`) ---
+        vocab_logits = h_t @ heads["vocab"]["w"] + heads["vocab"]["b"]
+        vocab_probs = jax.nn.softmax(vocab_logits, axis=-1)
+
+        feature = h_t @ heads["pointer"]["w"] + heads["pointer"]["b"]
+        pointer_logits = jnp.einsum("bd,bsd->bs", feature, h_cache)
+        pointer_logits = pointer_logits / dims.num_model
+        prob = jax.nn.sigmoid(h_t @ heads["switch"]["w"] + heads["switch"]["b"])
+
+        triu_bias = jnp.where(pos >= t, NEG_INF, 0.0)[None, :]
+        pointer_probs = jax.nn.softmax(pointer_logits + triu_bias, axis=-1) * prob
+        struct_row = struct[t]  # (S,)
+        pointer_probs = jnp.where(struct_row[None, :] == 0, EPS, pointer_probs)
+        # restrict candidates to j <= t (the reference dist is only t+1 wide)
+        pointer_probs = jnp.where(pos[None, :] > t, -1.0, pointer_probs)
+
+        mixed = jnp.concatenate([vocab_probs * (1 - prob), pointer_probs], axis=-1)
+        mixed_idx = jnp.argmax(mixed, axis=-1)
+        vocab_idx = jnp.argmax(vocab_logits, axis=-1)
+
+        # `if sz < 6: return vocab_dists` (`models.py:172-173`)
+        idx = jnp.where(t + 1 < dof, vocab_idx, mixed_idx).astype(jnp.int32)
+
+        is_ptr = idx >= dims.vocab_size
+        ptr = jnp.clip(idx - dims.vocab_size, 0, S - 1)
+        copied = jnp.take_along_axis(output, ptr[:, None], axis=1)[:, 0]
+        token = jnp.where(is_ptr, copied, idx)
+        attach_t = jnp.where(is_ptr, ptr, -1)
+
+        output = output.at[:, t].set(token)
+        attach = attach.at[:, t].set(attach_t)
+        done = done | (token == dims.end)
+        return (t + 1, output, attach, done, k_cache, v_cache, h_cache)
+
+    def cond(carry):
+        t, _, _, done, *_ = carry
+        return (t < S) & ~jnp.all(done)
+
+    init = (jnp.array(0, jnp.int32), output0, attach0, done0,
+            k_cache0, v_cache0, h_cache0)
+    t, output, attach, done, *_ = jax.lax.while_loop(cond, step, init)
+
+    return {"samples": output, "attach": attach, "num_steps": t}
+
+
+@partial(jax.jit, static_argnames=("dims", "compute_dtype"))
+def greedy_decode_nocache(params, batch, dims: ModelDims,
+                          compute_dtype=jnp.bfloat16):
+    """Algorithmically faithful port of the reference eval loop — NO KV
+    cache: every step re-embeds the whole prefix and re-runs the full
+    decoder stack (`models.py:284-307`). Exists for two reasons:
+
+    1. parity oracle for `greedy_decode` (same outputs, different schedule);
+    2. the performance baseline `bench.py` reports speedups against.
+
+    Uses a static 128-iteration `fori_loop` over full-length (S) padded
+    prefixes with position masking, which is the only static-shape way to
+    express the reference's growing-prefix recompute.
+    """
+    from plankassembly_tpu.models.model import decode_stack, embed_output, train_dists  # noqa: F401
+
+    cd = compute_dtype
+    S = dims.max_output_length
+    dof = dims.num_output_dof
+
+    inputs = {k: v for k, v in batch.items() if k.startswith("input")}
+    memory = encode(params, inputs, dims, deterministic=True, compute_dtype=cd)
+    B = memory.shape[0]
+    heads = params["heads"]
+    struct = jnp.asarray(pointer_structure_mask(dims))
+    cross_bias = jnp.where(inputs["input_mask"], NEG_INF, 0.0)[:, None, None, :]
+
+    pos = jnp.arange(S)
+    causal = jnp.where(pos[None, :] <= pos[:, None], 0.0, NEG_INF)[None, None]
+
+    def step(t, carry):
+        output, attach, done = carry
+        # embed the full prefix; positions > t are garbage but masked out
+        x = embed_output(params, output[:, : S - 1], dims)  # (B, S, D)
+        # mask keys beyond the current prefix (queries > t are garbage but
+        # only row t is read)
+        prefix_bias = jnp.where(pos <= t, 0.0, NEG_INF)[None, None, None, :]
+        hiddens = decode_stack(params, x, memory, causal + prefix_bias,
+                               cross_bias, dims, deterministic=True,
+                               compute_dtype=cd)
+        h_t = hiddens[jnp.arange(B), t].astype(jnp.float32)  # (B, D)
+        h_all = hiddens.astype(jnp.float32)
+
+        vocab_logits = h_t @ heads["vocab"]["w"] + heads["vocab"]["b"]
+        vocab_probs = jax.nn.softmax(vocab_logits, axis=-1)
+        feature = h_t @ heads["pointer"]["w"] + heads["pointer"]["b"]
+        pointer_logits = jnp.einsum("bd,bsd->bs", feature, h_all) / dims.num_model
+        prob = jax.nn.sigmoid(h_t @ heads["switch"]["w"] + heads["switch"]["b"])
+
+        triu_bias = jnp.where(pos >= t, NEG_INF, 0.0)[None, :]
+        pointer_probs = jax.nn.softmax(pointer_logits + triu_bias, axis=-1) * prob
+        pointer_probs = jnp.where(struct[t][None, :] == 0, EPS, pointer_probs)
+        pointer_probs = jnp.where(pos[None, :] > t, -1.0, pointer_probs)
+
+        mixed = jnp.concatenate([vocab_probs * (1 - prob), pointer_probs], axis=-1)
+        idx = jnp.where(t + 1 < dof,
+                        jnp.argmax(vocab_logits, axis=-1),
+                        jnp.argmax(mixed, axis=-1)).astype(jnp.int32)
+
+        is_ptr = idx >= dims.vocab_size
+        ptr = jnp.clip(idx - dims.vocab_size, 0, S - 1)
+        copied = jnp.take_along_axis(output, ptr[:, None], axis=1)[:, 0]
+        token = jnp.where(is_ptr, copied, idx)
+        output = output.at[:, t].set(token)
+        attach = attach.at[:, t].set(jnp.where(is_ptr, ptr, -1))
+        done = done | (token == dims.end)
+        return output, attach, done
+
+    output0 = jnp.zeros((B, S), jnp.int32)
+    attach0 = jnp.full((B, S), -1, jnp.int32)
+    done0 = jnp.zeros((B,), bool)
+
+    def cond(carry):
+        t, state = carry
+        return (t < S) & ~jnp.all(state[2])
+
+    def body(carry):
+        t, state = carry
+        return t + 1, step(t, state)
+
+    t, (output, attach, done) = jax.lax.while_loop(
+        cond, body, (jnp.array(0, jnp.int32), (output0, attach0, done0)))
+    return {"samples": output, "attach": attach, "num_steps": t}
+
+
+def parse_sequence(sequence: np.ndarray, dims: ModelDims) -> np.ndarray:
+    """Host-side: truncate at the first END and reshape to (P, 6)
+    (`parse_sequence`, `models.py:258-265`)."""
+    sequence = np.asarray(sequence)
+    ends = np.flatnonzero(sequence == dims.end)
+    valid = sequence[: ends[0]] if len(ends) else sequence
+    num_plank = len(valid) // dims.num_output_dof
+    return valid[: num_plank * dims.num_output_dof].reshape(-1, dims.num_output_dof)
+
+
+def eval_step(params, batch, dims: ModelDims, compute_dtype=jnp.bfloat16):
+    """Full reference `eval_step` (`models.py:267-323`): decode + host parse.
+
+    Returns dict with device arrays 'samples'/'attach' and per-sample python
+    lists 'predicts'/'groundtruths' of (P, 6) int arrays.
+    """
+    inputs = {k: v for k, v in batch.items() if k.startswith("input")}
+    out = greedy_decode(params, inputs, dims, compute_dtype=compute_dtype)
+    samples = np.asarray(out["samples"])
+    gts = np.asarray(batch["output_value"])
+
+    predicts = [parse_sequence(samples[i], dims) for i in range(len(samples))]
+    groundtruths = [parse_sequence(gts[i], dims) for i in range(len(gts))]
+
+    return {
+        "samples": samples,
+        "attach": np.asarray(out["attach"]),
+        "num_steps": int(out["num_steps"]),
+        "predicts": predicts,
+        "groundtruths": groundtruths,
+    }

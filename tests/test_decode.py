@@ -1,0 +1,72 @@
+"""KV-cached decode must reproduce the no-cache reference-style decode."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from plankassembly_tpu.decode import (
+    greedy_decode, greedy_decode_nocache, parse_sequence,
+)
+from plankassembly_tpu.models.model import ModelDims, init_params
+from tests.tiny import random_batch, tiny_config
+
+CFG = tiny_config()
+DIMS = ModelDims.from_config(CFG)
+
+
+@pytest.fixture(scope="module")
+def params():
+    return init_params(jax.random.PRNGKey(0), DIMS)
+
+
+@pytest.fixture(scope="module")
+def inputs():
+    batch = random_batch(CFG, batch_size=2, seed=3)
+    return {k: jnp.asarray(v) for k, v in batch.items()
+            if k.startswith("input")}
+
+
+def test_cached_matches_nocache(params, inputs):
+    fast = greedy_decode(params, inputs, DIMS, compute_dtype=jnp.float32)
+    slow = greedy_decode_nocache(params, inputs, DIMS, compute_dtype=jnp.float32)
+    np.testing.assert_array_equal(np.asarray(fast["samples"]),
+                                  np.asarray(slow["samples"]))
+    np.testing.assert_array_equal(np.asarray(fast["attach"]),
+                                  np.asarray(slow["attach"]))
+
+
+def test_decode_shapes_and_attach_legality(params, inputs):
+    out = greedy_decode(params, inputs, DIMS, compute_dtype=jnp.float32)
+    samples = np.asarray(out["samples"])
+    attach = np.asarray(out["attach"])
+    S = DIMS.max_output_length
+    assert samples.shape == attach.shape == (2, S)
+    # any attachment must be a legal structural pointer to an earlier token
+    for b in range(samples.shape[0]):
+        for t in range(S):
+            p = attach[b, t]
+            if p == -1:
+                continue
+            assert p < t
+            assert t >= 6  # bbox tokens never point
+            if p < 6:
+                assert p % 6 == t % 6
+            else:
+                assert p % 6 == (t % 6 + 3) % 6
+            # copied value equals the referenced token
+            assert samples[b, t] == samples[b, p]
+
+
+def test_parse_sequence_truncates_at_end():
+    seq = np.array([1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 512, 0, 0])
+    boxes = parse_sequence(seq, DIMS)
+    assert boxes.shape == (2, 6)
+    np.testing.assert_array_equal(boxes[0], [1, 2, 3, 4, 5, 6])
+
+    # partial trailing plank is dropped (len//6*6)
+    seq = np.array([1, 2, 3, 4, 5, 6, 7, 8, 512])
+    assert parse_sequence(seq, DIMS).shape == (1, 6)
+
+    # no END: everything kept
+    seq = np.arange(12)
+    assert parse_sequence(seq, DIMS).shape == (2, 6)
