@@ -1,0 +1,78 @@
+#!/usr/bin/env python
+"""Headline benchmark: autoregressive shape-program decode throughput.
+
+Decoding is the hot loop of the whole system (SURVEY.md §3.2): the reference
+re-runs the full decoder over the growing prefix every step with no KV cache
+(`plankassembly/models.py:284-307`, O(T^3)). Our KV-cached `lax.while_loop`
+decode (+ static length-bucketing of cross-attention K/V) is the headline
+win, so the benchmark measures:
+
+    value       = shape programs decoded / second / chip (flagship model,
+                  d=512, 6+6 layers, realistic ~400-token inputs,
+                  full 128-step decode — no early exit)
+    vs_baseline = speedup over the reference-faithful no-cache decode
+                  algorithm on the SAME chip, same batch/weights/steps
+                  (the baseline, like the reference, processes the full
+                  padded input — the reference publishes no throughput
+                  numbers of its own, see BASELINE.md).
+
+Random weights never emit END, so both variants run all 128 steps — the
+conservative worst case (trained models early-exit at ~20-40 tokens, which
+only helps the cached path). Timing syncs via a device->host transfer and
+asserts the step count, so async dispatch can't fake the numbers.
+
+Prints ONE JSON line.
+"""
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from __graft_entry__ import _example_batch
+    from plankassembly_tpu.config import Config
+    from plankassembly_tpu.decode import (
+        greedy_decode, greedy_decode_nocache, pick_kv_bucket,
+    )
+    from plankassembly_tpu.models.model import ModelDims, init_params
+
+    cfg = Config()
+    dims = ModelDims.from_config(cfg)
+    params = init_params(jax.random.PRNGKey(0), dims)
+
+    batch_size = 128
+    batch_np = _example_batch(cfg, batch_size)
+    inputs = {k: jnp.asarray(v) for k, v in batch_np.items()
+              if k.startswith("input")}
+    bucket = pick_kv_bucket(batch_np["input_mask"])
+
+    def run(fn, iters, **kw):
+        out = fn(params, inputs, dims, compute_dtype=jnp.bfloat16,
+                 early_exit=False, **kw)
+        steps = int(np.asarray(out["num_steps"]))  # host sync + sanity
+        assert steps == dims.max_output_length, steps
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = fn(params, inputs, dims, compute_dtype=jnp.bfloat16,
+                     early_exit=False, **kw)
+            np.asarray(out["samples"])  # true host sync
+        dt = (time.perf_counter() - t0) / iters
+        return batch_size / dt
+
+    cached_pps = run(greedy_decode, iters=3, kv_bucket=bucket)
+    baseline_pps = run(greedy_decode_nocache, iters=1)
+
+    print(json.dumps({
+        "metric": "shape_programs_per_sec_per_chip",
+        "value": round(cached_pps, 2),
+        "unit": "programs/s",
+        "vs_baseline": round(cached_pps / baseline_pps, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -98,7 +98,8 @@ class DataLoader:
             return
 
         # One-deep producer thread: packs + transfers the next batch while
-        # the consumer computes on the current one.
+        # the consumer computes on the current one. Producer exceptions are
+        # captured and re-raised in the consumer (never swallowed).
         q: queue.Queue = queue.Queue(maxsize=2)
         sentinel = object()
 
@@ -106,8 +107,9 @@ class DataLoader:
             try:
                 for batch in self._batches():
                     q.put(self._put(batch))
-            finally:
                 q.put(sentinel)
+            except BaseException as exc:  # noqa: BLE001
+                q.put(exc)
 
         thread = threading.Thread(target=producer, daemon=True)
         thread.start()
@@ -115,6 +117,9 @@ class DataLoader:
             item = q.get()
             if item is sentinel:
                 break
+            if isinstance(item, BaseException):
+                thread.join()
+                raise item
             yield item
         thread.join()
 

@@ -61,12 +61,20 @@ def precompute_cross_kv(params, memory, dims: ModelDims, compute_dtype):
     return jax.vmap(one_layer)(ca)
 
 
-@partial(jax.jit, static_argnames=("dims", "compute_dtype"))
-def greedy_decode(params, batch, dims: ModelDims, compute_dtype=jnp.bfloat16):
+@partial(jax.jit, static_argnames=("dims", "compute_dtype", "early_exit",
+                                   "kv_bucket"))
+def greedy_decode(params, batch, dims: ModelDims, compute_dtype=jnp.bfloat16,
+                  early_exit=True, kv_bucket=None):
     """Batched greedy decode. Returns dict with:
       samples (B, S) int32 generated tokens,
       attach  (B, S) int32 pointer indices (-1 = none),
       num_steps () int32 — steps actually executed (early exit diagnostic).
+
+    kv_bucket: static crop of the encoder length. Real input tokens form a
+    prefix (data/packing.py), so cropping to a per-batch bucket (multiple of
+    128 >= max real length, chosen by the caller via `pick_kv_bucket`) is
+    exact and slashes the HBM traffic of per-step cross-attention K/V reads
+    — the decode loop's dominant cost.
     """
     cd = compute_dtype
     S = dims.max_output_length
@@ -74,6 +82,8 @@ def greedy_decode(params, batch, dims: ModelDims, compute_dtype=jnp.bfloat16):
     dof = dims.num_output_dof
 
     inputs = {k: v for k, v in batch.items() if k.startswith("input")}
+    if kv_bucket is not None and kv_bucket < inputs["input_value"].shape[1]:
+        inputs = {k: v[:, :kv_bucket] for k, v in inputs.items()}
     memory = encode(params, inputs, dims, deterministic=True, compute_dtype=cd)
     B = memory.shape[0]
 
@@ -190,6 +200,8 @@ def greedy_decode(params, batch, dims: ModelDims, compute_dtype=jnp.bfloat16):
 
     def cond(carry):
         t, _, _, done, *_ = carry
+        if not early_exit:  # benchmark mode: force the full static bound
+            return t < S
         return (t < S) & ~jnp.all(done)
 
     init = (jnp.array(0, jnp.int32), output0, attach0, done0,
@@ -199,9 +211,9 @@ def greedy_decode(params, batch, dims: ModelDims, compute_dtype=jnp.bfloat16):
     return {"samples": output, "attach": attach, "num_steps": t}
 
 
-@partial(jax.jit, static_argnames=("dims", "compute_dtype"))
+@partial(jax.jit, static_argnames=("dims", "compute_dtype", "early_exit"))
 def greedy_decode_nocache(params, batch, dims: ModelDims,
-                          compute_dtype=jnp.bfloat16):
+                          compute_dtype=jnp.bfloat16, early_exit=True):
     """Algorithmically faithful port of the reference eval loop — NO KV
     cache: every step re-embeds the whole prefix and re-runs the full
     decoder stack (`models.py:284-307`). Exists for two reasons:
@@ -273,6 +285,8 @@ def greedy_decode_nocache(params, batch, dims: ModelDims,
 
     def cond(carry):
         t, state = carry
+        if not early_exit:  # benchmark mode: force the full static bound
+            return t < S
         return (t < S) & ~jnp.all(state[2])
 
     def body(carry):
@@ -282,6 +296,16 @@ def greedy_decode_nocache(params, batch, dims: ModelDims,
     t, (output, attach, done) = jax.lax.while_loop(
         cond, body, (jnp.array(0, jnp.int32), (output0, attach0, done0)))
     return {"samples": output, "attach": attach, "num_steps": t}
+
+
+def pick_kv_bucket(input_mask, quantum: int = 128) -> int:
+    """Smallest multiple of `quantum` covering every real (non-pad) input
+    token in the batch. Static-shape-friendly: at most Li/quantum distinct
+    buckets ever compile."""
+    lengths = np.asarray(~np.asarray(input_mask), dtype=np.int64).sum(axis=-1)
+    max_len = int(lengths.max()) if lengths.size else quantum
+    bucket = int(-(-max_len // quantum) * quantum)
+    return min(bucket, int(np.asarray(input_mask).shape[-1]))
 
 
 def parse_sequence(sequence: np.ndarray, dims: ModelDims) -> np.ndarray:
@@ -301,7 +325,9 @@ def eval_step(params, batch, dims: ModelDims, compute_dtype=jnp.bfloat16):
     lists 'predicts'/'groundtruths' of (P, 6) int arrays.
     """
     inputs = {k: v for k, v in batch.items() if k.startswith("input")}
-    out = greedy_decode(params, inputs, dims, compute_dtype=compute_dtype)
+    bucket = pick_kv_bucket(inputs["input_mask"])
+    out = greedy_decode(params, inputs, dims, compute_dtype=compute_dtype,
+                        kv_bucket=bucket)
     samples = np.asarray(out["samples"])
     gts = np.asarray(batch["output_value"])
 

@@ -20,9 +20,9 @@ import numpy as np
 from plankassembly_tpu.ops.matching import batched_match_metrics
 
 
-@partial(jax.jit, static_argnames=("end", "dof", "drop_bbox"))
+@partial(jax.jit, static_argnames=("end", "dof", "drop_bbox", "drop_zero_extent"))
 def program_boxes(samples: jnp.ndarray, end: int = 512, dof: int = 6,
-                  drop_bbox: bool = True):
+                  drop_bbox: bool = True, drop_zero_extent: bool = True):
     """Parse decoded token streams into box tensors on device.
 
     samples: (B, S) int tokens. Equivalent of `parse_sequence`
@@ -45,7 +45,9 @@ def program_boxes(samples: jnp.ndarray, end: int = 512, dof: int = 6,
     valid = ids < num_planks[:, None]
     if drop_bbox:
         valid = valid & (ids >= 1)
-        # zero-extent planks are filtered (`trainer_complete.py:79`)
+    if drop_zero_extent:
+        # zero-extent planks are filtered on the prediction side only
+        # (`trainer_complete.py:79-81`; GT passes through unfiltered)
         extent = jnp.abs(boxes[..., dof // 2:] - boxes[..., : dof // 2])
         valid = valid & (extent != 0).all(axis=-1)
     return boxes, valid
@@ -55,7 +57,8 @@ def batch_scores(pred_samples, gt_samples, end: int = 512, dof: int = 6,
                  threshold: float = 0.5):
     """(B,) per-sample precision/recall/F1 from raw token streams, on device."""
     pred_boxes, pred_valid = program_boxes(pred_samples, end=end, dof=dof)
-    gt_boxes, gt_valid = program_boxes(gt_samples, end=end, dof=dof)
+    gt_boxes, gt_valid = program_boxes(gt_samples, end=end, dof=dof,
+                                       drop_zero_extent=False)
     return batched_match_metrics(pred_boxes, gt_boxes, pred_valid, gt_valid,
                                  threshold=threshold)
 

@@ -191,10 +191,28 @@ def _dropout(key, x, rate, deterministic):
     return jnp.where(keep, x / (1.0 - rate), 0).astype(x.dtype)
 
 
+# Pallas fused-attention policy: "auto" uses the kernel on TPU for
+# deterministic (no attn-dropout) calls with enough batch*heads to fill the
+# grid; True/False force it. See `ops/attention.py`.
+FLASH_ATTENTION = "auto"
+
+
+def _flash_enabled(deterministic: bool, B: int, H: int) -> bool:
+    if FLASH_ATTENTION == "auto":
+        return (deterministic and jax.default_backend() == "tpu"
+                and B * H >= 128)
+    return bool(FLASH_ATTENTION) and deterministic
+
+
 def attention(p, q_in, kv_in, bias, dims: ModelDims, *, dropout_key=None,
-              deterministic=True, compute_dtype=jnp.bfloat16):
+              deterministic=True, compute_dtype=jnp.bfloat16,
+              kv_lengths=None):
     """Multi-head attention with additive bias. q_in (B,Lq,D), kv_in (B,Lk,D),
-    bias broadcastable to (B,H,Lq,Lk) with 0 / NEG_INF entries."""
+    bias broadcastable to (B,H,Lq,Lk) with 0 / NEG_INF entries.
+
+    When `kv_lengths` (B,) is given (pad keys form a suffix) and the fused
+    kernel is enabled, dispatches to the Pallas attention in
+    `ops/attention.py` instead of materializing (B,H,Lq,Lk) scores."""
     B, Lq, D = q_in.shape
     H, Dh = dims.num_head, dims.head_dim
     cd = compute_dtype
@@ -206,17 +224,25 @@ def attention(p, q_in, kv_in, bias, dims: ModelDims, *, dropout_key=None,
     k = k.reshape(B, -1, H, Dh)
     v = v.reshape(B, -1, H, Dh)
 
-    scores = jnp.einsum("bqhd,bkhd->bhqk", q, k,
-                        preferred_element_type=jnp.float32)
-    scores = scores / math.sqrt(Dh)
-    if bias is not None:
-        scores = scores + bias
-    weights = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
-    if not deterministic and dims.dropout > 0:
-        weights = _dropout(dropout_key, weights, dims.dropout, deterministic)
-    out = jnp.einsum("bhqk,bkhd->bqhd", weights.astype(cd), v,
-                     preferred_element_type=jnp.float32).astype(cd)
-    out = out.reshape(B, Lq, D)
+    if kv_lengths is not None and _flash_enabled(deterministic, B, H):
+        from plankassembly_tpu.ops.attention import flash_attention
+        out = flash_attention(q.transpose(0, 2, 1, 3),
+                              k.transpose(0, 2, 1, 3),
+                              v.transpose(0, 2, 1, 3), kv_lengths)
+        out = out.transpose(0, 2, 1, 3)
+    else:
+        scores = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                            preferred_element_type=jnp.float32)
+        scores = scores / math.sqrt(Dh)
+        if bias is not None:
+            scores = scores + bias
+        weights = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
+        if not deterministic and dims.dropout > 0:
+            weights = _dropout(dropout_key, weights, dims.dropout,
+                               deterministic)
+        out = jnp.einsum("bhqk,bkhd->bqhd", weights.astype(cd), v,
+                         preferred_element_type=jnp.float32).astype(cd)
+    out = out.reshape(B, Lq, D).astype(cd)
     out = out @ p["wo"].astype(cd) + p["bo"].astype(cd)
     return out.astype(q_in.dtype)
 
@@ -252,6 +278,9 @@ def encode(params, inputs: dict, dims: ModelDims, *, rng=None,
         x = x + emb["type"][inputs["input_type"]]
 
     pad_bias = jnp.where(inputs["input_mask"], NEG_INF, 0.0)[:, None, None, :]
+    # pads are a suffix (data/packing.py), so a per-batch length is an exact
+    # equivalent of the pad mask — lets the fused kernel skip mask arrays
+    kv_lengths = (~inputs["input_mask"]).sum(axis=-1).astype(jnp.int32)
 
     enc = params["encoder"]
     rng = rng if rng is not None else jax.random.PRNGKey(0)
@@ -262,7 +291,8 @@ def encode(params, inputs: dict, dims: ModelDims, *, rng=None,
         k1, k2, k3, k4 = jax.random.split(key, 4)
         h = layer_norm(lp["norm1"], x)
         a = attention(lp["self_attn"], h, h, pad_bias, dims, dropout_key=k1,
-                      deterministic=deterministic, compute_dtype=compute_dtype)
+                      deterministic=deterministic, compute_dtype=compute_dtype,
+                      kv_lengths=kv_lengths)
         x = x + _dropout(k2, a, dims.dropout, deterministic)
         h = layer_norm(lp["norm2"], x)
         f = ffn(lp["ffn"], h, dims, dropout_key=k3,

@@ -1,0 +1,10 @@
+from plankassembly_tpu.parallel.mesh import (
+    batch_sharding,
+    make_mesh,
+    param_shardings,
+    shard_batch,
+    shard_params,
+)
+
+__all__ = ["make_mesh", "param_shardings", "batch_sharding", "shard_batch",
+           "shard_params"]

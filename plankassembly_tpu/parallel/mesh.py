@@ -1,0 +1,100 @@
+"""Device mesh + sharding layouts.
+
+The reference's entire distributed story is Lightning DDP data parallelism
+over NCCL (`configs/train_complete.yaml:18-21`) plus torchmetrics all-reduce
+(`plankassembly/metric.py:13-16`). The TPU-native equivalent needs no
+backend code at all: we build a `jax.sharding.Mesh` over ICI with axes
+``('data', 'model')``, annotate parameter/batch shardings, and let XLA's
+SPMD partitioner insert the collectives (gradient psum rides the data axis
+automatically under jit).
+
+- strategy "ddp"/"dp": pure data parallelism — params replicated, batch
+  split on 'data'.
+- strategy "dp+tp": additionally shards attention heads and FFN hidden
+  units over 'model' (Megatron-style column/row split), demonstrating
+  tensor parallelism even though this 512-wide model doesn't need it.
+"""
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(num_data: int | None = None, num_model: int = 1,
+              devices=None) -> Mesh:
+    """Build a ('data', 'model') mesh. Defaults to all devices on 'data'."""
+    devices = devices if devices is not None else jax.devices()
+    if num_data is None:
+        num_data = len(devices) // num_model
+    count = num_data * num_model
+    assert count <= len(devices), (
+        f"mesh needs {count} devices, have {len(devices)}")
+    arr = np.asarray(devices[:count]).reshape(num_data, num_model)
+    return Mesh(arr, ("data", "model"))
+
+
+def _attn_spec(tp: bool):
+    """Specs for one stacked attention param dict (leading layer axis)."""
+    if not tp:
+        return {k: P() for k in ("wq", "wk", "wv", "wo", "bq", "bk", "bv", "bo")}
+    return {
+        # column-parallel QKV: shard the head/output dim
+        "wq": P(None, None, "model"), "wk": P(None, None, "model"),
+        "wv": P(None, None, "model"),
+        "bq": P(None, "model"), "bk": P(None, "model"), "bv": P(None, "model"),
+        # row-parallel output projection: shard the input dim
+        "wo": P(None, "model", None), "bo": P(),
+    }
+
+
+def _ffn_spec(tp: bool):
+    if not tp:
+        return {k: P() for k in ("w1", "b1", "w2", "b2")}
+    return {"w1": P(None, None, "model"), "b1": P(None, "model"),
+            "w2": P(None, "model", None), "b2": P()}
+
+
+def _norm_spec():
+    return {"scale": P(), "bias": P()}
+
+
+def param_specs(tensor_parallel: bool = False) -> dict:
+    """PartitionSpec pytree matching `models.model.init_params` output."""
+    tp = tensor_parallel
+    embed = {k: P() for k in
+             ("value", "pos_in", "coord_in", "view", "type", "coord_out",
+              "pos_out")}
+    encoder = {"self_attn": _attn_spec(tp), "ffn": _ffn_spec(tp),
+               "norm1": _norm_spec(), "norm2": _norm_spec(),
+               "final_norm": _norm_spec()}
+    decoder = {"self_attn": _attn_spec(tp), "cross_attn": _attn_spec(tp),
+               "ffn": _ffn_spec(tp),
+               "norm1": _norm_spec(), "norm2": _norm_spec(),
+               "norm3": _norm_spec(), "final_norm": _norm_spec()}
+    heads = {"vocab": {"w": P(), "b": P()},
+             "pointer": {"w": P(), "b": P()},
+             "switch": {"w": P(), "b": P()}}
+    return {"embed": embed, "encoder": encoder, "decoder": decoder,
+            "heads": heads}
+
+
+def param_shardings(mesh: Mesh, tensor_parallel: bool = False):
+    return jax.tree.map(lambda spec: NamedSharding(mesh, spec),
+                        param_specs(tensor_parallel),
+                        is_leaf=lambda x: isinstance(x, P))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Batch arrays are split along the leading axis over 'data'."""
+    return NamedSharding(mesh, P("data"))
+
+
+def shard_batch(batch: dict, mesh: Mesh) -> dict:
+    sh = batch_sharding(mesh)
+    return {k: jax.device_put(v, sh) if hasattr(v, "shape") else v
+            for k, v in batch.items()}
+
+
+def shard_params(params, mesh: Mesh, tensor_parallel: bool = False):
+    return jax.device_put(params, param_shardings(mesh, tensor_parallel))

@@ -1,0 +1,327 @@
+"""Training / validation / test orchestration for the three modalities.
+
+Mirrors the reference Lightning trainers:
+- `Trainer`  <-> `trainer_complete.py:19-129` (LineDataset, train-time noise
+  augmentation ON)
+- `VisibleTrainer` <-> `trainer_visible.py:10-23` (LineDataset; the
+  reference passes cfg positionally so augmentation stays OFF — quirk kept)
+- `SidefaceTrainer` <-> `trainer_sideface.py:20-84` (SidefaceDataset;
+  empty-sideface test samples score 0, skip the criterion, and their pred
+  JSON has no planks)
+
+TPU-native differences: one process drives a ('data','model') mesh; the
+eval loop is a single jitted KV-cached decode + on-device matching per
+batch instead of per-sample Python; checkpoints are orbax; metrics stream
+to JSONL + stdout. Prediction JSONs stay bit-compatible with
+`trainer_complete.py:110-118`.
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import time
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from plankassembly_tpu.config import Config
+from plankassembly_tpu.data import LineDataset, SidefaceDataset
+from plankassembly_tpu.data.loader import DataLoader, pad_batch_to, parse_splits_list
+from plankassembly_tpu.decode import greedy_decode, parse_sequence, pick_kv_bucket
+from plankassembly_tpu.metrics import batch_scores, build_criterion
+from plankassembly_tpu.models.model import ModelDims, init_params
+from plankassembly_tpu.parallel.mesh import (
+    batch_sharding, make_mesh, shard_batch, shard_params,
+)
+from plankassembly_tpu.train.state import (
+    TrainState, init_state, make_optimizer, make_train_step,
+)
+
+
+class MetricsLogger:
+    """JSONL + stdout logger (stands in for the TensorBoard logger)."""
+
+    def __init__(self, log_dir: str):
+        os.makedirs(log_dir, exist_ok=True)
+        self.path = os.path.join(log_dir, "metrics.jsonl")
+        self._f = open(self.path, "a")
+
+    def log(self, step: int, payload: dict):
+        rec = {"step": step, "time": time.time(), **payload}
+        self._f.write(json.dumps(rec) + "\n")
+        self._f.flush()
+        pretty = " ".join(f"{k}={v:.4f}" if isinstance(v, float) else f"{k}={v}"
+                          for k, v in payload.items())
+        print(f"[step {step}] {pretty}", flush=True)
+
+
+class Trainer:
+    """Complete-lines modality trainer."""
+
+    dataset_cls = LineDataset
+    train_augmentation = True  # `trainer_complete.py:38` passes True
+
+    def __init__(self, cfg: Config, log_dir: str | None = None,
+                 compute_dtype=jnp.bfloat16):
+        self.cfg = cfg
+        self.dims = ModelDims.from_config(cfg)
+        self.compute_dtype = compute_dtype
+
+        tc = cfg.trainer
+        tp = max(1, tc.tensor_parallel) if tc.strategy == "dp+tp" else 1
+        num_data = max(1, min(tc.devices, len(jax.devices()) // tp))
+        self.mesh = make_mesh(num_data=num_data, num_model=tp)
+        self.tensor_parallel = tp > 1
+        self.global_batch = cfg.BATCH_SIZE * num_data
+
+        if tc.detect_anomaly:
+            jax.config.update("jax_debug_nans", True)
+
+        self.log_dir = log_dir or os.path.join(
+            tc.default_root_dir, f"version_{int(time.time())}")
+        os.makedirs(self.log_dir, exist_ok=True)
+        self.logger = MetricsLogger(self.log_dir)
+
+        self.optimizer = make_optimizer(cfg.LR)
+        self.train_step_fn = make_train_step(
+            self.optimizer, self.dims, compute_dtype=compute_dtype)
+        self.criterion = build_criterion()
+        self._rng = jax.random.PRNGKey(cfg.seed_everything)
+
+    # ------------------------------------------------------------------
+    # data
+    # ------------------------------------------------------------------
+    def _dataset(self, split_files: str, augmentation: bool):
+        info_files = parse_splits_list(split_files)
+        return self.dataset_cls(self.cfg.ROOT, info_files, self.cfg,
+                                augmentation=augmentation)
+
+    def train_dataloader(self) -> DataLoader:
+        return DataLoader(self._dataset(self.cfg.DATASETS_TRAIN,
+                                        self.train_augmentation),
+                          batch_size=self.global_batch, shuffle=True,
+                          drop_last=True, seed=self.cfg.seed_everything,
+                          sharding=batch_sharding(self.mesh))
+
+    def val_dataloader(self) -> DataLoader:
+        return DataLoader(self._dataset(self.cfg.DATASETS_VALID, False),
+                          batch_size=self.global_batch)
+
+    def test_dataloader(self) -> DataLoader:
+        return DataLoader(self._dataset(self.cfg.DATASETS_TEST, False),
+                          batch_size=self.global_batch)
+
+    # ------------------------------------------------------------------
+    # fit
+    # ------------------------------------------------------------------
+    def init_state(self, seed: int | None = None) -> TrainState:
+        params = init_params(
+            jax.random.PRNGKey(seed if seed is not None
+                               else self.cfg.seed_everything), self.dims)
+        params = shard_params(params, self.mesh, self.tensor_parallel)
+        return init_state(params, self.optimizer)
+
+    def fit(self, state: TrainState | None = None,
+            max_epochs: int | None = None) -> TrainState:
+        cfg = self.cfg
+        state = state if state is not None else self.init_state()
+        max_epochs = max_epochs or cfg.trainer.max_epochs
+        best_f1 = -1.0
+        loader = self.train_dataloader()
+
+        with self.mesh:
+            for epoch in range(max_epochs):
+                for batch in loader:
+                    arrays = {k: v for k, v in batch.items()
+                              if hasattr(v, "shape")}
+                    self._rng, sub = jax.random.split(self._rng)
+                    state, mets = self.train_step_fn(state, arrays, sub)
+                    step = int(state.step)
+                    if step % cfg.trainer.log_every_n_steps == 0:
+                        self.logger.log(step, {
+                            "epoch": epoch,
+                            "train/loss": float(mets["loss"]),
+                            "train/accuracy": float(mets["accuracy"]),
+                        })
+
+                if (epoch + 1) % cfg.trainer.check_val_every_n_epoch == 0:
+                    prec, rec, f1 = self.validate(state)
+                    self.logger.log(int(state.step), {
+                        "epoch": epoch, "val/precision": prec,
+                        "val/recall": rec, "val/fmeasure": f1,
+                    })
+                    if f1 > best_f1:
+                        best_f1 = f1
+                        self.save_checkpoint(state, "best", epoch=epoch,
+                                             metrics={"val/precision": prec,
+                                                      "val/recall": rec,
+                                                      "val/fmeasure": f1})
+                if cfg.trainer.save_last:
+                    self.save_checkpoint(state, "last", epoch=epoch)
+        return state
+
+    # ------------------------------------------------------------------
+    # eval
+    # ------------------------------------------------------------------
+    def _decode_batch(self, state: TrainState, batch: dict):
+        arrays = {k: jnp.asarray(v) for k, v in batch.items()
+                  if hasattr(v, "shape")}
+        inputs = {k: v for k, v in arrays.items() if k.startswith("input")}
+        bucket = pick_kv_bucket(inputs["input_mask"])
+        out = greedy_decode(state.params, inputs, self.dims,
+                            compute_dtype=self.compute_dtype,
+                            kv_bucket=bucket)
+        return arrays, out
+
+    def validate(self, state: TrainState) -> tuple[float, float, float]:
+        criterion = build_criterion()
+        with self.mesh:
+            for batch in self.val_dataloader():
+                batch, valid = pad_batch_to(batch, self.global_batch)
+                arrays, out = self._decode_batch(state, batch)
+                prec, rec, f1 = batch_scores(
+                    out["samples"], arrays["output_value"],
+                    end=self.cfg.TOKEN.END, dof=self.dims.num_output_dof,
+                    threshold=self.cfg.THRESHOLD)
+                criterion.update_batch(prec, rec, f1, valid_mask=valid)
+        return criterion.compute()
+
+    def test(self, state: TrainState) -> tuple[float, float, float]:
+        """Decode the test split and dump bit-compatible prediction JSONs
+        (`trainer_complete.py:91-118`)."""
+        pred_dir = os.path.join(self.log_dir, "pred_jsons")
+        os.makedirs(pred_dir, exist_ok=True)
+        criterion = build_criterion()
+
+        with self.mesh:
+            for batch in self.test_dataloader():
+                padded, valid = pad_batch_to(batch, self.global_batch)
+                arrays, out = self._decode_batch(state, padded)
+                samples = np.asarray(out["samples"])
+                attach = np.asarray(out["attach"])
+                gts = np.asarray(arrays["output_value"])
+                in_masks = np.asarray(arrays["input_mask"])
+
+                for i, name in enumerate(batch["name"]):
+                    if not valid[i]:
+                        continue
+                    scores = self._write_prediction(
+                        pred_dir, name, samples[i], attach[i], gts[i],
+                        in_masks[i])
+                    if scores is not None:
+                        criterion.update(*scores)
+
+        prec, rec, f1 = criterion.compute()
+        self.logger.log(int(state.step), {
+            "test/precision": prec, "test/recall": rec, "test/fmeasure": f1})
+        return prec, rec, f1
+
+    def _write_prediction(self, pred_dir, name, sample, attach, gt, in_mask):
+        from plankassembly_tpu.metrics import hungarian_match_host
+        pred = parse_sequence(sample, self.dims)
+        gt_parsed = parse_sequence(gt, self.dims)
+
+        # filter zero-extent planks, keep bbox row (`trainer_complete.py:100-101`)
+        if len(pred) > 0:
+            body = pred[1:]
+            keep = np.all(np.abs(body[:, 3:] - body[:, :3]) != 0, axis=1)
+            valid_pred = np.concatenate([pred[:1], body[keep]])
+        else:
+            valid_pred = pred
+
+        prec, rec, f1 = hungarian_match_host(
+            valid_pred[1:], gt_parsed[1:], self.cfg.THRESHOLD)
+
+        atta = attach[: valid_pred.size].reshape(-1, 6).tolist()
+        payload = {
+            "prediction": valid_pred.tolist(),
+            "attach": atta,
+            "groundtruth": gt_parsed.tolist(),
+            "precision": prec,
+            "recall": rec,
+            "fmeasure": f1,
+        }
+        with open(os.path.join(pred_dir, f"{name}.json"), "w") as f:
+            json.dump(payload, f, indent=4, separators=(", ", ": "))
+        return prec, rec, f1
+
+    # ------------------------------------------------------------------
+    # checkpointing (orbax; policy from `configs/train_complete.yaml:6-14`)
+    # ------------------------------------------------------------------
+    def save_checkpoint(self, state: TrainState, tag: str, epoch: int = -1,
+                        metrics: dict | None = None):
+        import orbax.checkpoint as ocp
+        path = os.path.abspath(os.path.join(self.log_dir, "checkpoints", tag))
+        with ocp.StandardCheckpointer() as ckptr:
+            ckptr.save(path, {"params": state.params,
+                              "opt_state": state.opt_state,
+                              "step": state.step}, force=True)
+        meta = {"epoch": epoch, "step": int(state.step),
+                "metrics": metrics or {}}
+        with open(path + ".meta.json", "w") as f:
+            json.dump(meta, f)
+
+    def load_checkpoint(self, path: str) -> TrainState:
+        import orbax.checkpoint as ocp
+        template = self.init_state()
+        with ocp.StandardCheckpointer() as ckptr:
+            restored = ckptr.restore(
+                os.path.abspath(path),
+                {"params": template.params,
+                 "opt_state": template.opt_state,
+                 "step": template.step})
+        return TrainState(restored["params"], restored["opt_state"],
+                          restored["step"])
+
+
+class VisibleTrainer(Trainer):
+    """Visible-lines modality. The reference's positional-arg slip leaves
+    augmentation False for training (`trainer_visible.py:17-18`) — the
+    published visible checkpoint was trained that way, so we keep it."""
+
+    train_augmentation = False
+
+
+class SidefaceTrainer(Trainer):
+    """Sideface modality (`trainer_sideface.py:20-84`)."""
+
+    dataset_cls = SidefaceDataset
+    train_augmentation = True
+
+    def _write_prediction(self, pred_dir, name, sample, attach, gt, in_mask):
+        pred = parse_sequence(sample, self.dims)
+        gt_parsed = parse_sequence(gt, self.dims)
+
+        if in_mask[1:].all():
+            # no detected sidefaces: zero score, no criterion update
+            # (`trainer_sideface.py:61-65`)
+            payload = {
+                "prediction": [],
+                "groundtruth": gt_parsed.tolist(),
+                "precision": 0.0, "recall": 0.0, "fmeasure": 0.0,
+            }
+            with open(os.path.join(pred_dir, f"{name}.json"), "w") as f:
+                json.dump(payload, f, indent=4, separators=(", ", ": "))
+            return None
+
+        from plankassembly_tpu.metrics import hungarian_match_host
+        if len(pred) > 0:
+            body = pred[1:]
+            keep = np.all(np.abs(body[:, 3:] - body[:, :3]) != 0, axis=1)
+            valid_pred = np.concatenate([pred[:1], body[keep]])
+        else:
+            valid_pred = pred
+        prec, rec, f1 = hungarian_match_host(
+            valid_pred[1:], gt_parsed[1:], self.cfg.THRESHOLD)
+        # sideface pred JSONs carry no 'attach' key (`trainer_sideface.py:77-84`)
+        payload = {
+            "prediction": valid_pred.tolist(),
+            "groundtruth": gt_parsed.tolist(),
+            "precision": prec, "recall": rec, "fmeasure": f1,
+        }
+        with open(os.path.join(pred_dir, f"{name}.json"), "w") as f:
+            json.dump(payload, f, indent=4, separators=(", ", ": "))
+        return prec, rec, f1

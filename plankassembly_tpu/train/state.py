@@ -1,0 +1,55 @@
+"""Train state + jit-compiled update step.
+
+Equivalent of the reference's Lightning plumbing (`trainer_complete.py:63-71,
+127-129`): Adam(lr) over the full parameter pytree, gradient all-reduce over
+the data axis handled by XLA's SPMD partitioner (no DDP machinery).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from plankassembly_tpu.models.model import ModelDims, train_step_loss
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+
+def make_optimizer(lr: float) -> optax.GradientTransformation:
+    return optax.adam(lr)
+
+
+def init_state(params, optimizer) -> TrainState:
+    return TrainState(params, optimizer.init(params), jnp.zeros((), jnp.int32))
+
+
+def make_train_step(optimizer, dims: ModelDims, compute_dtype=jnp.bfloat16,
+                    donate: bool = True):
+    """Build the jitted training step.
+
+    The returned fn takes (state, batch, rng) and returns (state, metrics).
+    With params replicated and batch sharded over the 'data' mesh axis, XLA
+    inserts the gradient all-reduce automatically.
+    """
+
+    def step(state: TrainState, batch, rng):
+        def loss_fn(params):
+            return train_step_loss(params, batch, dims, rng=rng,
+                                   deterministic=False,
+                                   compute_dtype=compute_dtype)
+
+        (loss, mets), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params)
+        updates, opt_state = optimizer.update(grads, state.opt_state,
+                                              state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params, opt_state, state.step + 1), mets
+
+    return jax.jit(step, donate_argnums=(0,) if donate else ())

@@ -1,0 +1,127 @@
+"""End-to-end: synthetic factory -> trainer.fit -> test -> evaluate.
+
+Covers SURVEY.md §4(f): mini-dataset through render -> prepare -> train a
+few steps -> test-dump -> offline evaluate, plus checkpoint save/restore.
+"""
+import json
+import os
+import subprocess
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from plankassembly_tpu.config import Config
+from plankassembly_tpu.data import geometry as geo
+from plankassembly_tpu.factory.projection import (
+    VIEWS, postprocess_complete, project_boxes,
+)
+from plankassembly_tpu.factory.synthetic import generate_cabinet
+from plankassembly_tpu.io.svg import parse_svg, render_svg
+from tests.tiny import tiny_config
+
+import dataclasses
+
+
+@pytest.fixture(scope="module")
+def dataset_dir(tmp_path_factory):
+    """Tiny on-disk dataset: 4 samples, full factory path."""
+    root = tmp_path_factory.mktemp("data")
+    os.makedirs(root / "infos")
+    names = []
+    for seed in range(4):
+        planks, attach = generate_cabinet(seed, max_planks=5)
+        boxes = planks[1:] / 1280.0
+        svgs, views, types_all = [], [], []
+        for v_i, view in enumerate(VIEWS):
+            lines, types = project_boxes(boxes, view)
+            lines, types = postprocess_complete(lines, types)
+            path = str(root / f"tmp_{view}.svg")
+            render_svg(path, lines, types)
+            plines, ptypes = parse_svg(path)
+            svgs.extend(geo.to_geojson(l) for l in plines)
+            types_all.extend(ptypes)
+            views.extend([v_i] * len(plines))
+        name = f"syn{seed:03d}"
+        info = {
+            "name": name,
+            "lines": [geo.bounds(geo.from_geojson(s)).tolist() for s in svgs],
+            "views": views, "types": types_all, "svgs": svgs,
+            "coords": np.round(planks / 1280.0, 3).tolist(),
+            "attach": attach.tolist(),
+        }
+        with open(root / "infos" / f"{name}.json", "w") as f:
+            json.dump(info, f)
+        names.append(name)
+    for split in ("train", "valid", "test"):
+        with open(root / f"{split}.txt", "w") as f:
+            f.write("".join(f"{n}.json\n" for n in names))
+    return root
+
+
+def make_cfg(root, log_root):
+    cfg = tiny_config()
+    return dataclasses.replace(
+        cfg,
+        ROOT=str(root / "infos"),
+        DATASETS_TRAIN=str(root / "train.txt"),
+        DATASETS_VALID=str(root / "valid.txt"),
+        DATASETS_TEST=str(root / "test.txt"),
+        BATCH_SIZE=4,
+        LR=3e-3,
+        DATA=dataclasses.replace(cfg.DATA, MAX_INPUT_LENGTH=320,
+                                 MAX_OUTPUT_LENGTH=48, AUG_RATIO=0.0),
+        trainer=dataclasses.replace(
+            cfg.trainer, devices=1, max_epochs=2, check_val_every_n_epoch=2,
+            log_every_n_steps=1, default_root_dir=str(log_root)),
+    )
+
+
+def test_fit_validate_test_checkpoint(dataset_dir, tmp_path):
+    from plankassembly_tpu.train import Trainer
+
+    cfg = make_cfg(dataset_dir, tmp_path / "logs")
+    trainer = Trainer(cfg, compute_dtype=jnp.float32)
+
+    state = trainer.fit(max_epochs=2)
+    assert int(state.step) == 2  # 4 samples / batch 4 = 1 step/epoch
+
+    # checkpoints written (best from val @epoch2 + last)
+    ckpt_dir = os.path.join(trainer.log_dir, "checkpoints")
+    assert os.path.isdir(os.path.join(ckpt_dir, "best"))
+    assert os.path.isdir(os.path.join(ckpt_dir, "last"))
+
+    # restore round-trips exactly
+    restored = trainer.load_checkpoint(os.path.join(ckpt_dir, "last"))
+    np.testing.assert_array_equal(
+        np.asarray(restored.params["heads"]["vocab"]["w"]),
+        np.asarray(state.params["heads"]["vocab"]["w"]))
+
+    # test dump: bit-compatible pred JSONs
+    trainer.test(state)
+    pred_dir = os.path.join(trainer.log_dir, "pred_jsons")
+    files = sorted(os.listdir(pred_dir))
+    assert len(files) == 4
+    with open(os.path.join(pred_dir, files[0])) as f:
+        payload = json.load(f)
+    for key in ("prediction", "attach", "groundtruth", "precision",
+                "recall", "fmeasure"):
+        assert key in payload
+    if payload["prediction"]:
+        assert len(payload["prediction"][0]) == 6
+
+    # offline evaluator consumes the dump (reference evaluate.py contract)
+    data_path = tmp_path / "evalroot"
+    os.makedirs(data_path, exist_ok=True)
+    os.symlink(dataset_dir / "infos", data_path / "infos")
+    result = subprocess.run(
+        [sys.executable, os.path.join(os.path.dirname(__file__), "..",
+                                      "evaluate.py"),
+         "--data_path", str(data_path), "--exp_path", trainer.log_dir],
+        capture_output=True, text=True,
+        env={**os.environ, "JAX_PLATFORMS": "cpu"})
+    assert result.returncode == 0, result.stderr
+    assert "f1" in result.stdout
+    assert os.path.exists(os.path.join(trainer.log_dir, "metrics.json"))
