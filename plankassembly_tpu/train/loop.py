@@ -131,6 +131,8 @@ class Trainer:
         max_epochs = max_epochs or cfg.trainer.max_epochs
         best_f1 = -1.0
         loader = self.train_dataloader()
+        from plankassembly_tpu.utils.profiling import StepTimer
+        timer = StepTimer()
 
         with self.mesh:
             for epoch in range(max_epochs):
@@ -139,13 +141,18 @@ class Trainer:
                               if hasattr(v, "shape")}
                     self._rng, sub = jax.random.split(self._rng)
                     state, mets = self.train_step_fn(state, arrays, sub)
+                    timer.tick(mets["loss"])
                     step = int(state.step)
                     if step % cfg.trainer.log_every_n_steps == 0:
-                        self.logger.log(step, {
+                        payload = {
                             "epoch": epoch,
                             "train/loss": float(mets["loss"]),
                             "train/accuracy": float(mets["accuracy"]),
-                        })
+                        }
+                        if timer.steps_per_sec:
+                            payload["train/steps_per_sec"] = round(
+                                timer.steps_per_sec, 3)
+                        self.logger.log(step, payload)
 
                 if (epoch + 1) % cfg.trainer.check_val_every_n_epoch == 0:
                     prec, rec, f1 = self.validate(state)
