@@ -135,12 +135,16 @@ def _silhouettes(boxes: np.ndarray, view: str, decimals: int = 3):
     return rects, d_near
 
 
-def project_boxes(boxes: np.ndarray, view: str, decimals: int = 3):
+def project_boxes(boxes: np.ndarray, view: str, decimals: int = 3,
+                  use_native: bool = True):
     """HLR projection of a box compound onto one view.
 
     Returns (lines: list of (2,2) arrays, types: list of int 0=visible,
     1=hidden) — the same contract as the reference `project`
     (`dataset/data_utils.py:63-101`), already noded.
+
+    Uses the C++ core (native/geometry.cpp via ctypes) when built; the numpy
+    path below is the semantic reference and fallback.
     """
     boxes = np.asarray(boxes, dtype=np.float64).reshape(-1, 6)
     # drop degenerate boxes
@@ -151,6 +155,14 @@ def project_boxes(boxes: np.ndarray, view: str, decimals: int = 3):
 
     segs, depths, _ = box_view_segments(boxes, view, decimals)
     rects, rect_near = _silhouettes(boxes, view, decimals)
+
+    if use_native:
+        from plankassembly_tpu.factory import native
+        if native.available():
+            atomic, hidden = native.node_classify(segs, depths, rects,
+                                                  rect_near)
+            lines = [atomic[i].reshape(2, 2) for i in range(len(atomic))]
+            return lines, hidden.astype(int).tolist()
 
     atomic, parent = _node_segments(segs)
     mids = (atomic[:, :2] + atomic[:, 2:]) / 2.0
@@ -188,16 +200,25 @@ def _covers(a: np.ndarray, b: np.ndarray, tol: float = 1e-12) -> bool:
     return False
 
 
-def remove_overlapping_lines(lines, types):
+def remove_overlapping_lines(lines, types, use_native: bool = True):
     """Longest-first cover dedupe, visible lines first
     (`dataset/data_utils.py:179-205`)."""
     if not lines:
         return [], []
-    lengths = np.array([np.linalg.norm(l[1] - l[0]) for l in lines])
+    lengths = np.array([np.linalg.norm(np.asarray(l)[1] - np.asarray(l)[0])
+                        for l in lines])
     order = np.lexsort((-lengths, np.asarray(types)))
     order = [i for i in order if lengths[i] > 0]
     if not order:
         return [], []
+
+    if use_native:
+        from plankassembly_tpu.factory import native
+        if native.available():
+            flat = np.stack([np.asarray(l).reshape(4) for l in lines])
+            keep = native.dedupe_covers(flat, np.asarray(types))
+            return ([lines[i] for i in order if keep[i]],
+                    [types[i] for i in order if keep[i]])
 
     unique_lines = [lines[order[0]]]
     unique_types = [types[order[0]]]

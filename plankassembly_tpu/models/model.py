@@ -302,7 +302,11 @@ def encode(params, inputs: dict, dims: ModelDims, *, rng=None,
 
     stacked = {k: v for k, v in enc.items() if k != "final_norm"}
     idxs = jnp.arange(dims.num_encoder_layers)
-    x, _ = jax.lax.scan(body, x, (stacked, idxs))
+    # remat: without it the scan saves every layer's (B, H, L, L) attention
+    # weights as backward residuals — 37 GB at B=128, L=1199. Recomputing
+    # the layer in the backward pass trades ~30% encoder FLOPs for ~all of
+    # that HBM (the standard TPU recipe).
+    x, _ = jax.lax.scan(jax.checkpoint(body), x, (stacked, idxs))
     return layer_norm(enc["final_norm"], x)
 
 
@@ -352,7 +356,8 @@ def decode_stack(params, x, memory, self_bias, cross_bias, dims: ModelDims, *,
 
     stacked = {k: v for k, v in dec.items() if k != "final_norm"}
     idxs = jnp.arange(dims.num_decoder_layers)
-    x, _ = jax.lax.scan(body, x, (stacked, idxs))
+    # remat: see encode() — cross-attention residuals are (B, H, S, Li)
+    x, _ = jax.lax.scan(jax.checkpoint(body), x, (stacked, idxs))
     return layer_norm(dec["final_norm"], x)
 
 

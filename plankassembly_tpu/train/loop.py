@@ -177,7 +177,10 @@ class Trainer:
         arrays = {k: jnp.asarray(v) for k, v in batch.items()
                   if hasattr(v, "shape")}
         inputs = {k: v for k, v in arrays.items() if k.startswith("input")}
-        bucket = pick_kv_bucket(inputs["input_mask"])
+        # coarse quantum: each distinct bucket compiles the decode graph
+        # once (~minutes on this backend), so trade a little HBM traffic
+        # for at most ~2 compiled variants per run
+        bucket = pick_kv_bucket(inputs["input_mask"], quantum=512)
         out = greedy_decode(state.params, inputs, self.dims,
                             compute_dtype=self.compute_dtype,
                             kv_bucket=bucket)
