@@ -102,6 +102,9 @@ class TrainerConfig:
     save_last: bool = True
     # TP axis size when strategy == "dp+tp".
     tensor_parallel: int = 1
+    # Use the Pallas fused attention kernels (incl. the differentiable
+    # in-kernel-dropout kernel) in the training step. TPU only.
+    fused_attention: bool = True
 
 
 @dataclass(frozen=True)

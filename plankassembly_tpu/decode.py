@@ -76,19 +76,29 @@ def greedy_decode(params, batch, dims: ModelDims, compute_dtype=jnp.bfloat16,
     exact and slashes the HBM traffic of per-step cross-attention K/V reads
     — the decode loop's dominant cost.
     """
+    inputs = {k: v for k, v in batch.items() if k.startswith("input")}
+    if kv_bucket is not None and kv_bucket < inputs["input_value"].shape[1]:
+        inputs = {k: v[:, :kv_bucket] for k, v in inputs.items()}
+    memory = encode(params, inputs, dims, deterministic=True,
+                    compute_dtype=compute_dtype, flash=True)
+    return decode_from_memory(params, memory, inputs["input_mask"], dims,
+                              compute_dtype=compute_dtype,
+                              early_exit=early_exit)
+
+
+def decode_from_memory(params, memory, memory_mask, dims: ModelDims,
+                       compute_dtype=jnp.bfloat16, early_exit=True):
+    """KV-cached decode loop over a precomputed encoder memory — shared by
+    the token-input model and the raster/ViT variant (`models/vit.py`).
+    memory (B, Li, D); memory_mask (B, Li) bool True = padded key."""
     cd = compute_dtype
     S = dims.max_output_length
     H, Dh, D = dims.num_head, dims.head_dim, dims.num_model
     dof = dims.num_output_dof
-
-    inputs = {k: v for k, v in batch.items() if k.startswith("input")}
-    if kv_bucket is not None and kv_bucket < inputs["input_value"].shape[1]:
-        inputs = {k: v[:, :kv_bucket] for k, v in inputs.items()}
-    memory = encode(params, inputs, dims, deterministic=True, compute_dtype=cd)
     B = memory.shape[0]
 
     cross_k, cross_v = precompute_cross_kv(params, memory, dims, cd)
-    cross_bias = jnp.where(inputs["input_mask"], NEG_INF, 0.0)[:, None, None, :]
+    cross_bias = jnp.where(memory_mask, NEG_INF, 0.0)[:, None, None, :]
     cross_bias = cross_bias.astype(jnp.float32)
 
     dec = params["decoder"]
@@ -232,7 +242,8 @@ def greedy_decode_nocache(params, batch, dims: ModelDims,
     dof = dims.num_output_dof
 
     inputs = {k: v for k, v in batch.items() if k.startswith("input")}
-    memory = encode(params, inputs, dims, deterministic=True, compute_dtype=cd)
+    memory = encode(params, inputs, dims, deterministic=True, compute_dtype=cd,
+                    flash=True)
     B = memory.shape[0]
     heads = params["heads"]
     struct = jnp.asarray(pointer_structure_mask(dims))

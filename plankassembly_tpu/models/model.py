@@ -191,28 +191,31 @@ def _dropout(key, x, rate, deterministic):
     return jnp.where(keep, x / (1.0 - rate), 0).astype(x.dtype)
 
 
-# Pallas fused-attention policy: "auto" uses the kernel on TPU for
-# deterministic (no attn-dropout) calls with enough batch*heads to fill the
-# grid; True/False force it. See `ops/attention.py`.
+# Pallas fused-attention policy: "auto" uses the kernel on TPU when the
+# caller opts in (inference paths — pallas_call has no autodiff rule, so
+# training keeps the XLA path) and batch*heads fills the grid; True/False
+# force it. See `ops/attention.py`.
 FLASH_ATTENTION = "auto"
 
 
-def _flash_enabled(deterministic: bool, B: int, H: int) -> bool:
+def _flash_enabled(B: int, H: int) -> bool:
     if FLASH_ATTENTION == "auto":
-        return (deterministic and jax.default_backend() == "tpu"
-                and B * H >= 128)
-    return bool(FLASH_ATTENTION) and deterministic
+        return jax.default_backend() == "tpu" and B * H >= 128
+    return bool(FLASH_ATTENTION)
 
 
 def attention(p, q_in, kv_in, bias, dims: ModelDims, *, dropout_key=None,
               deterministic=True, compute_dtype=jnp.bfloat16,
-              kv_lengths=None):
+              kv_lengths=None, flash=False, causal=False):
     """Multi-head attention with additive bias. q_in (B,Lq,D), kv_in (B,Lk,D),
     bias broadcastable to (B,H,Lq,Lk) with 0 / NEG_INF entries.
 
     When `kv_lengths` (B,) is given (pad keys form a suffix) and the fused
-    kernel is enabled, dispatches to the Pallas attention in
-    `ops/attention.py` instead of materializing (B,H,Lq,Lk) scores."""
+    kernel is enabled, dispatches to the Pallas kernels in `ops/` instead of
+    materializing (B,H,Lq,Lk) scores — the inference kernel when
+    deterministic, the differentiable in-kernel-dropout one when training
+    (`ops/flash_train.py`). `causal` must mirror what `bias` encodes for the
+    fused paths."""
     B, Lq, D = q_in.shape
     H, Dh = dims.num_head, dims.head_dim
     cd = compute_dtype
@@ -224,11 +227,21 @@ def attention(p, q_in, kv_in, bias, dims: ModelDims, *, dropout_key=None,
     k = k.reshape(B, -1, H, Dh)
     v = v.reshape(B, -1, H, Dh)
 
-    if kv_lengths is not None and _flash_enabled(deterministic, B, H):
+    if flash and kv_lengths is not None and deterministic \
+            and _flash_enabled(B, H):
         from plankassembly_tpu.ops.attention import flash_attention
         out = flash_attention(q.transpose(0, 2, 1, 3),
                               k.transpose(0, 2, 1, 3),
-                              v.transpose(0, 2, 1, 3), kv_lengths)
+                              v.transpose(0, 2, 1, 3), kv_lengths,
+                              causal=causal)
+        out = out.transpose(0, 2, 1, 3)
+    elif flash and kv_lengths is not None and not deterministic \
+            and _flash_enabled(B, H):
+        from plankassembly_tpu.ops.flash_train import fused_attention_train
+        seed = jax.random.randint(dropout_key, (), 0, 2**31 - 1, jnp.int32)
+        out = fused_attention_train(
+            q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
+            v.transpose(0, 2, 1, 3), kv_lengths, seed, dims.dropout, causal)
         out = out.transpose(0, 2, 1, 3)
     else:
         scores = jnp.einsum("bqhd,bkhd->bhqk", q, k,
@@ -263,7 +276,7 @@ def _take_layer(stacked, i):
 
 
 def encode(params, inputs: dict, dims: ModelDims, *, rng=None,
-           deterministic=True, compute_dtype=jnp.bfloat16):
+           deterministic=True, compute_dtype=jnp.bfloat16, flash=False):
     """Embed the 5 input streams and run the pre-norm encoder stack.
 
     inputs: dict with input_value/pos/coord/view[/type] (B, Li) int32 and
@@ -276,11 +289,20 @@ def encode(params, inputs: dict, dims: ModelDims, *, rng=None,
          + emb["view"][inputs["input_view"]])
     if "input_type" in inputs:
         x = x + emb["type"][inputs["input_type"]]
+    return run_encoder_stack(params, x, inputs["input_mask"], dims, rng=rng,
+                             deterministic=deterministic,
+                             compute_dtype=compute_dtype, flash=flash)
 
-    pad_bias = jnp.where(inputs["input_mask"], NEG_INF, 0.0)[:, None, None, :]
+
+def run_encoder_stack(params, x, input_mask, dims: ModelDims, *, rng=None,
+                      deterministic=True, compute_dtype=jnp.bfloat16,
+                      flash=False):
+    """Pre-norm encoder over already-embedded tokens x (B, L, D); shared by
+    the token encoder and the raster/ViT encoder (`models/vit.py`)."""
+    pad_bias = jnp.where(input_mask, NEG_INF, 0.0)[:, None, None, :]
     # pads are a suffix (data/packing.py), so a per-batch length is an exact
     # equivalent of the pad mask — lets the fused kernel skip mask arrays
-    kv_lengths = (~inputs["input_mask"]).sum(axis=-1).astype(jnp.int32)
+    kv_lengths = (~input_mask).sum(axis=-1).astype(jnp.int32)
 
     enc = params["encoder"]
     rng = rng if rng is not None else jax.random.PRNGKey(0)
@@ -292,7 +314,7 @@ def encode(params, inputs: dict, dims: ModelDims, *, rng=None,
         h = layer_norm(lp["norm1"], x)
         a = attention(lp["self_attn"], h, h, pad_bias, dims, dropout_key=k1,
                       deterministic=deterministic, compute_dtype=compute_dtype,
-                      kv_lengths=kv_lengths)
+                      kv_lengths=kv_lengths, flash=flash)
         x = x + _dropout(k2, a, dims.dropout, deterministic)
         h = layer_norm(lp["norm2"], x)
         f = ffn(lp["ffn"], h, dims, dropout_key=k3,
@@ -330,8 +352,13 @@ def embed_output(params, output_value, dims: ModelDims):
 
 
 def decode_stack(params, x, memory, self_bias, cross_bias, dims: ModelDims, *,
-                 rng=None, deterministic=True, compute_dtype=jnp.bfloat16):
-    """Pre-norm decoder stack over full sequences (training path)."""
+                 rng=None, deterministic=True, compute_dtype=jnp.bfloat16,
+                 flash=False, self_lengths=None, cross_lengths=None):
+    """Pre-norm decoder stack over full sequences (training path).
+
+    `self_lengths`/`cross_lengths` enable the fused kernels (they must agree
+    with what the biases encode: causal+suffix-pad self-attention, suffix-pad
+    cross-attention)."""
     dec = params["decoder"]
     rng = rng if rng is not None else jax.random.PRNGKey(0)
 
@@ -341,12 +368,14 @@ def decode_stack(params, x, memory, self_bias, cross_bias, dims: ModelDims, *,
         k1, k2, k3, k4, k5, k6 = jax.random.split(key, 6)
         h = layer_norm(lp["norm1"], x)
         a = attention(lp["self_attn"], h, h, self_bias, dims, dropout_key=k1,
-                      deterministic=deterministic, compute_dtype=compute_dtype)
+                      deterministic=deterministic, compute_dtype=compute_dtype,
+                      kv_lengths=self_lengths, flash=flash, causal=True)
         x = x + _dropout(k2, a, dims.dropout, deterministic)
         h = layer_norm(lp["norm2"], x)
         c = attention(lp["cross_attn"], h, memory, cross_bias, dims,
                       dropout_key=k3, deterministic=deterministic,
-                      compute_dtype=compute_dtype)
+                      compute_dtype=compute_dtype,
+                      kv_lengths=cross_lengths, flash=flash)
         x = x + _dropout(k4, c, dims.dropout, deterministic)
         h = layer_norm(lp["norm3"], x)
         f = ffn(lp["ffn"], h, dims, dropout_key=k5,
@@ -398,14 +427,16 @@ def train_dists(params, hiddens, dims: ModelDims, eps=1e-6):
 
 
 def train_step_loss(params, batch, dims: ModelDims, *, rng=None,
-                    deterministic=False, compute_dtype=jnp.bfloat16):
+                    deterministic=False, compute_dtype=jnp.bfloat16,
+                    flash=False):
     """Teacher-forced NLL + token accuracy (`train_step`, `models.py:190-233`)."""
     rng = rng if rng is not None else jax.random.PRNGKey(0)
     enc_rng, dec_rng = jax.random.split(rng)
 
     inputs = {k: v for k, v in batch.items() if k.startswith("input")}
     memory = encode(params, inputs, dims, rng=enc_rng,
-                    deterministic=deterministic, compute_dtype=compute_dtype)
+                    deterministic=deterministic, compute_dtype=compute_dtype,
+                    flash=flash)
 
     # decoder inputs: tokens shifted right with zero BOS (`models.py:204`)
     x = embed_output(params, batch["output_value"][:, :-1], dims)
@@ -418,9 +449,13 @@ def train_step_loss(params, batch, dims: ModelDims, *, rng=None,
     self_bias = causal + tgt_pad
     cross_bias = jnp.where(batch["input_mask"], NEG_INF, 0.0)[:, None, None, :]
 
+    self_lengths = (~batch["output_mask"][:, :S]).sum(axis=-1).astype(jnp.int32)
+    cross_lengths = (~batch["input_mask"]).sum(axis=-1).astype(jnp.int32)
     hiddens = decode_stack(params, x, memory, self_bias, cross_bias, dims,
                            rng=dec_rng, deterministic=deterministic,
-                           compute_dtype=compute_dtype)
+                           compute_dtype=compute_dtype, flash=flash,
+                           self_lengths=self_lengths,
+                           cross_lengths=cross_lengths)
 
     dists = train_dists(params, hiddens, dims)  # (B, S, V+S) log-probs
 

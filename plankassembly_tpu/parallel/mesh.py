@@ -85,6 +85,39 @@ def param_shardings(mesh: Mesh, tensor_parallel: bool = False):
                         is_leaf=lambda x: isinstance(x, P))
 
 
+def _spec_for_path(path: str, tensor_parallel: bool) -> P:
+    """Path-pattern sharding rule — robust to model variants that add
+    parameters (e.g. the ViT patch embeddings)."""
+    if not tensor_parallel:
+        return P()
+    if "attn" in path:
+        if any(k in path for k in ("'wq'", "'wk'", "'wv'")):
+            return P(None, None, "model")
+        if any(k in path for k in ("'bq'", "'bk'", "'bv'")):
+            return P(None, "model")
+        if "'wo'" in path:
+            return P(None, "model", None)
+        return P()
+    if "ffn" in path:
+        if "'w1'" in path:
+            return P(None, None, "model")
+        if "'b1'" in path:
+            return P(None, "model")
+        if "'w2'" in path:
+            return P(None, "model", None)
+        return P()
+    return P()
+
+
+def shardings_like(params, mesh: Mesh, tensor_parallel: bool = False):
+    """NamedSharding pytree matching an arbitrary params tree."""
+    def one(path, _leaf):
+        return NamedSharding(mesh,
+                             _spec_for_path(jax.tree_util.keystr(path),
+                                            tensor_parallel))
+    return jax.tree_util.tree_map_with_path(one, params)
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Batch arrays are split along the leading axis over 'data'."""
     return NamedSharding(mesh, P("data"))
@@ -97,4 +130,5 @@ def shard_batch(batch: dict, mesh: Mesh) -> dict:
 
 
 def shard_params(params, mesh: Mesh, tensor_parallel: bool = False):
-    return jax.device_put(params, param_shardings(mesh, tensor_parallel))
+    return jax.device_put(params, shardings_like(params, mesh,
+                                                 tensor_parallel))

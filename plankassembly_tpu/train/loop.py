@@ -70,6 +70,11 @@ class Trainer:
         self.dims = ModelDims.from_config(cfg)
         self.compute_dtype = compute_dtype
 
+        # hardware RBG PRNG: dropout masks over (B, H, L, L) attention
+        # weights are a large share of the train step; threefry bit
+        # generation is ~25% slower end-to-end on this workload
+        jax.config.update("jax_default_prng_impl", "rbg")
+
         tc = cfg.trainer
         tp = max(1, tc.tensor_parallel) if tc.strategy == "dp+tp" else 1
         num_data = max(1, min(tc.devices, len(jax.devices()) // tp))
@@ -86,8 +91,11 @@ class Trainer:
         self.logger = MetricsLogger(self.log_dir)
 
         self.optimizer = make_optimizer(cfg.LR)
+        use_flash = (tc.fused_attention
+                     and jax.default_backend() == "tpu")
         self.train_step_fn = make_train_step(
-            self.optimizer, self.dims, compute_dtype=compute_dtype)
+            self.optimizer, self.dims, compute_dtype=compute_dtype,
+            flash=use_flash)
         self.criterion = build_criterion()
         self._rng = jax.random.PRNGKey(cfg.seed_everything)
 
@@ -213,7 +221,10 @@ class Trainer:
                 samples = np.asarray(out["samples"])
                 attach = np.asarray(out["attach"])
                 gts = np.asarray(arrays["output_value"])
-                in_masks = np.asarray(arrays["input_mask"])
+                if "input_mask" in arrays:
+                    in_masks = np.asarray(arrays["input_mask"])
+                else:  # raster modality has no token mask
+                    in_masks = np.zeros((len(samples), 1), bool)
 
                 for i, name in enumerate(batch["name"]):
                     if not valid[i]:

@@ -31,19 +31,24 @@ def init_state(params, optimizer) -> TrainState:
 
 
 def make_train_step(optimizer, dims: ModelDims, compute_dtype=jnp.bfloat16,
-                    donate: bool = True):
+                    donate: bool = True, flash: bool = False,
+                    loss_impl=None):
     """Build the jitted training step.
 
     The returned fn takes (state, batch, rng) and returns (state, metrics).
     With params replicated and batch sharded over the 'data' mesh axis, XLA
     inserts the gradient all-reduce automatically.
+
+    loss_impl: alternative loss fn with the `train_step_loss` signature
+    (e.g. the raster/ViT variant's).
     """
+    loss_impl = loss_impl or train_step_loss
 
     def step(state: TrainState, batch, rng):
         def loss_fn(params):
-            return train_step_loss(params, batch, dims, rng=rng,
-                                   deterministic=False,
-                                   compute_dtype=compute_dtype)
+            return loss_impl(params, batch, dims, rng=rng,
+                             deterministic=False,
+                             compute_dtype=compute_dtype, flash=flash)
 
         (loss, mets), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params)
