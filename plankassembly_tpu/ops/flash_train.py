@@ -8,8 +8,10 @@ VMEM and implements a custom VJP that *recomputes* the softmax and
 *regenerates* the identical dropout bits from the same counter-based seed in
 the backward pass — so neither the scores nor the masks ever touch HBM.
 
-Residuals stored: output O and per-row logsumexp LSE — the standard
-flash-attention recipe.
+Residuals stored: just (q, k, v) — unlike streaming flash attention this
+kernel sees the full key range per query block, so the backward recomputes
+the softmax normalizers locally instead of storing LSE (whose (B, H, Lq)
+layout would also fight TPU block-tiling rules).
 
 Backward math (O = W V with W = softmax(S) ∘ M / (1-p), M = keep mask):
     dV  = W^T dO
@@ -20,10 +22,13 @@ Backward math (O = W V with W = softmax(S) ∘ M / (1-p), M = keep mask):
 dK/dV accumulate across query blocks via revisited output blocks (TPU grid
 is sequential; the (b, h) output block stays resident while qi iterates).
 
-Dropout bits come from the Mosaic per-core PRNG seeded per (batch, head,
-q-block) cell — forward and backward regenerate identical masks by
-construction. The mask distribution matches standard inverted dropout;
-the bit stream differs from jax.random (documented, tested statistically).
+Dropout bits come from a counter-based integer hash (xorshift-multiply
+rounds over (row, col, cell-seed)) computed as plain VPU arithmetic —
+forward and backward regenerate identical masks *by construction*, with no
+dependence on hardware PRNG state or compiler tiling (the Mosaic
+`prng_random_bits` stream is not guaranteed stable across distinct
+kernels). The mask distribution matches standard inverted dropout; the bit
+stream differs from jax.random (documented, tested statistically).
 """
 from __future__ import annotations
 
@@ -44,14 +49,30 @@ def _cell_seed(seed_ref, b, h, qi):
     return seed_ref[0] + b * 7919 + h * 104729 + qi * 1299721
 
 
-def _dropout_mask(shape, rate):
-    bits = pltpu.prng_random_bits(shape)
-    bits = pltpu.bitcast(bits, jnp.uint32)
+def _dropout_mask(shape, rate, seed):
+    """Counter-based keep mask: integer hash of (row, col, seed).
+
+    Pure arithmetic (wrapping int32 ops + bitcasts) — bit-identical wherever
+    it is evaluated, unlike the hardware PRNG whose lane assignment is a
+    compiler detail. Two xorshift-multiply finalizer rounds (murmur3-style)
+    are plenty for dropout-quality randomness.
+    """
+    r = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    x = r * jnp.int32(-1640531527)  # 0x9E3779B9 (golden-ratio odd constant)
+    x = x ^ (c * jnp.int32(-2048144789))  # 0x85EBCA6B
+    x = x + seed * jnp.int32(-1028477387)  # 0xC2B2AE35
+    ux = jax.lax.bitcast_convert_type(x, jnp.uint32)
+    ux = ux ^ (ux >> 16)
+    ux = ux * jnp.uint32(0x7FEB352D)
+    ux = ux ^ (ux >> 15)
+    ux = ux * jnp.uint32(0x846CA68B)
+    ux = ux ^ (ux >> 16)
     threshold = np.uint32(min(int(rate * (2.0**32)), 2**32 - 1))
-    return bits >= threshold  # keep with prob 1-rate
+    return ux >= threshold  # keep with prob 1-rate
 
 
-def _fwd_kernel(lengths_ref, seed_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, *,
+def _fwd_kernel(lengths_ref, seed_ref, q_ref, k_ref, v_ref, o_ref, *,
                 sm_scale, causal, block_q, rate):
     b, h, qi = pl.program_id(0), pl.program_id(1), pl.program_id(2)
 
@@ -74,17 +95,15 @@ def _fwd_kernel(lengths_ref, seed_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, *,
     a = p / l
 
     if rate > 0.0:
-        pltpu.prng_seed(_cell_seed(seed_ref, b, h, qi))
-        keep = _dropout_mask(a.shape, rate)
+        keep = _dropout_mask(a.shape, rate, _cell_seed(seed_ref, b, h, qi))
         a = jnp.where(keep, a / (1.0 - rate), 0.0)
 
     o = jax.lax.dot_general(a, v, (((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32)
     o_ref[0, 0] = o.astype(o_ref.dtype)
-    lse_ref[0, 0] = (m + jnp.log(l))[:, 0]
 
 
-def _bwd_kernel(lengths_ref, seed_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
+def _bwd_kernel(lengths_ref, seed_ref, q_ref, k_ref, v_ref, do_ref,
                 dq_ref, dk_ref, dv_ref, *, sm_scale, causal, block_q, rate):
     b, h, qi = pl.program_id(0), pl.program_id(1), pl.program_id(2)
 
@@ -97,7 +116,6 @@ def _bwd_kernel(lengths_ref, seed_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
     k = k_ref[0, 0].astype(jnp.float32)
     v = v_ref[0, 0].astype(jnp.float32)
     do = do_ref[0, 0].astype(jnp.float32)
-    lse = lse_ref[0, 0]  # (BQ,)
 
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32) * sm_scale
@@ -107,11 +125,15 @@ def _bwd_kernel(lengths_ref, seed_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
         row = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
         mask = mask & (col <= row + qi * block_q)
     s = jnp.where(mask, s, NEG_INF)
-    a = jnp.exp(s - lse[:, None])  # softmax rows via stored logsumexp
+    # recompute the softmax normalizers (full key range is resident, so no
+    # stored LSE residual is needed; bitwise-identical to the forward)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p_ = jnp.exp(s - m)
+    l = jnp.sum(p_, axis=-1, keepdims=True)
+    a = p_ / l
 
     if rate > 0.0:
-        pltpu.prng_seed(_cell_seed(seed_ref, b, h, qi))
-        keep = _dropout_mask(a.shape, rate)
+        keep = _dropout_mask(a.shape, rate, _cell_seed(seed_ref, b, h, qi))
         w = jnp.where(keep, a / (1.0 - rate), 0.0)
     else:
         w = a
@@ -173,7 +195,7 @@ def _fwd(q, k, v, kv_lengths, seed, rate, causal, sm_scale, block_q,
 
     kernel = functools.partial(_fwd_kernel, sm_scale=sm_scale, causal=causal,
                                block_q=block_q, rate=rate)
-    out, lse = pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
@@ -184,26 +206,20 @@ def _fwd(q, k, v, kv_lengths, seed, rate, causal, sm_scale, block_q,
                 pl.BlockSpec((1, 1, Lkp, Dh), lambda b, h, i, *_: (b, h, 0, 0)),
                 pl.BlockSpec((1, 1, Lkp, Dh), lambda b, h, i, *_: (b, h, 0, 0)),
             ],
-            out_specs=[
-                pl.BlockSpec((1, 1, block_q, Dh),
-                             lambda b, h, i, *_: (b, h, i, 0)),
-                pl.BlockSpec((1, 1, block_q), lambda b, h, i, *_: (b, h, i)),
-            ],
+            out_specs=pl.BlockSpec((1, 1, block_q, Dh),
+                                   lambda b, h, i, *_: (b, h, i, 0)),
         ),
-        out_shape=[
-            jax.ShapeDtypeStruct((B, H, Lqp, Dh), q.dtype),
-            jax.ShapeDtypeStruct((B, H, Lqp), jnp.float32),
-        ],
+        out_shape=jax.ShapeDtypeStruct((B, H, Lqp, Dh), q.dtype),
         interpret=interpret,
     )(kv_lengths.astype(jnp.int32), jnp.asarray(seed, jnp.int32).reshape(1),
       qp, kp, vp)
 
     out = out[:, :, :Lq]
-    return out, (q, k, v, kv_lengths, seed, lse)
+    return out, (q, k, v, kv_lengths, seed)
 
 
 def _bwd(rate, causal, sm_scale, block_q, interpret, residuals, g):
-    q, k, v, kv_lengths, seed, lse = residuals
+    q, k, v, kv_lengths, seed = residuals
     B, H, Lq, Dh, Lk, block_q, Lqp, Lkp = _plan(q, k, block_q)
     sm_scale_v = sm_scale if sm_scale is not None else 1.0 / math.sqrt(Dh)
     qp, kp, vp = _pad_seq(q, Lqp), _pad_seq(k, Lkp), _pad_seq(v, Lkp)
@@ -223,7 +239,6 @@ def _bwd(rate, causal, sm_scale, block_q, interpret, residuals, g):
                 pl.BlockSpec((1, 1, Lkp, Dh), lambda b, h, i, *_: (b, h, 0, 0)),
                 pl.BlockSpec((1, 1, block_q, Dh),
                              lambda b, h, i, *_: (b, h, i, 0)),
-                pl.BlockSpec((1, 1, block_q), lambda b, h, i, *_: (b, h, i)),
             ],
             out_specs=[
                 pl.BlockSpec((1, 1, block_q, Dh),
@@ -239,7 +254,7 @@ def _bwd(rate, causal, sm_scale, block_q, interpret, residuals, g):
         ],
         interpret=interpret,
     )(kv_lengths.astype(jnp.int32), jnp.asarray(seed, jnp.int32).reshape(1),
-      qp, kp, vp, gp, lse)
+      qp, kp, vp, gp)
 
     return (dq[:, :, :Lq], dk[:, :, :Lk].astype(k.dtype),
             dv[:, :, :Lk].astype(v.dtype), None, None)

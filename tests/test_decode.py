@@ -70,3 +70,26 @@ def test_parse_sequence_truncates_at_end():
     # no END: everything kept
     seq = np.arange(12)
     assert parse_sequence(seq, DIMS).shape == (2, 6)
+
+
+def test_kv_bucket_equivalence(params, inputs):
+    """Cropping to a bucket that covers all real tokens must not change
+    results (real tokens are a packed prefix)."""
+    from plankassembly_tpu.decode import pick_kv_bucket
+    bucket = pick_kv_bucket(np.asarray(inputs["input_mask"]), quantum=8)
+    full = greedy_decode(params, inputs, DIMS, compute_dtype=jnp.float32)
+    cropped = greedy_decode(params, inputs, DIMS, compute_dtype=jnp.float32,
+                            kv_bucket=bucket)
+    np.testing.assert_array_equal(np.asarray(full["samples"]),
+                                  np.asarray(cropped["samples"]))
+
+
+def test_pick_kv_bucket():
+    from plankassembly_tpu.decode import pick_kv_bucket
+    mask = np.ones((2, 600), bool)
+    mask[0, :100] = False
+    mask[1, :257] = False
+    assert pick_kv_bucket(mask) == 384
+    assert pick_kv_bucket(mask, quantum=512) == 512
+    mask2 = np.zeros((1, 600), bool)  # no padding at all
+    assert pick_kv_bucket(mask2) == 600

@@ -94,7 +94,7 @@ def test_dropout_mean_preserving():
     for s in range(n):
         acc += np.asarray(fused_attention_train(
             q, k, v, lengths, 1000 + s, 0.2, False, None, 128, True))
-    np.testing.assert_allclose(acc / n, np.asarray(base), atol=0.08)
+    np.testing.assert_allclose(acc / n, np.asarray(base), atol=0.12)
 
 
 @needs_dropout
