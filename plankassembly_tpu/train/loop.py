@@ -89,6 +89,7 @@ class Trainer:
             tc.default_root_dir, f"version_{int(time.time())}")
         os.makedirs(self.log_dir, exist_ok=True)
         self.logger = MetricsLogger(self.log_dir)
+        self._save_hyperparameters()
 
         self.optimizer = make_optimizer(cfg.LR)
         use_flash = (tc.fused_attention
@@ -98,6 +99,14 @@ class Trainer:
             flash=use_flash)
         self.criterion = build_criterion()
         self._rng = jax.random.PRNGKey(cfg.seed_everything)
+
+    def _save_hyperparameters(self):
+        """Persist the full config into the run dir (the reference's
+        Lightning `save_hyperparameters`, `trainer_complete.py:24`)."""
+        import yaml
+        with open(os.path.join(self.log_dir, "hparams.yaml"), "w") as f:
+            yaml.safe_dump(dataclasses.asdict(self.cfg), f,
+                           default_flow_style=False)
 
     # ------------------------------------------------------------------
     # data
