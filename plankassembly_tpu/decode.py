@@ -102,14 +102,33 @@ def decode_from_memory(params, memory, memory_mask, dims: ModelDims,
     cross_bias = cross_bias.astype(jnp.float32)
 
     dec = params["decoder"]
-    layer_params = {k: v for k, v in dec.items() if k != "final_norm"}
     heads = params["heads"]
+    L = dims.num_decoder_layers
+
+    # per-layer parameter views (python-unrolled: the layer loop below is
+    # unrolled so cache updates are in-place slice writes on the while-carry
+    # buffers instead of lax.scan xs->ys stacking copies, which moved
+    # ~400 MB/step at B=128)
+    def _layer(tree, l):
+        return jax.tree.map(lambda a: a[l], tree)
+
+    sa_l = [_layer(dec["self_attn"], l) for l in range(L)]
+    ca_l = [_layer(dec["cross_attn"], l) for l in range(L)]
+    ffn_l = [_layer(dec["ffn"], l) for l in range(L)]
+    n1_l = [_layer(dec["norm1"], l) for l in range(L)]
+    n2_l = [_layer(dec["norm2"], l) for l in range(L)]
+    n3_l = [_layer(dec["norm3"], l) for l in range(L)]
+    # fused QKV: one (D, 3D) matmul per self-attention instead of three
+    wqkv_l = [jnp.concatenate([p["wq"], p["wk"], p["wv"]], axis=1).astype(cd)
+              for p in sa_l]
+    bqkv_l = [jnp.concatenate([p["bq"], p["bk"], p["bv"]]).astype(cd)
+              for p in sa_l]
 
     struct = jnp.asarray(pointer_structure_mask(dims))  # (S, S) {0,1}
     scale = 1.0 / math.sqrt(Dh)
 
-    k_cache0 = jnp.zeros((dims.num_decoder_layers, B, S, H, Dh), cd)
-    v_cache0 = jnp.zeros((dims.num_decoder_layers, B, S, H, Dh), cd)
+    k_cache0 = jnp.zeros((L, B, S, H, Dh), cd)
+    v_cache0 = jnp.zeros((L, B, S, H, Dh), cd)
     h_cache0 = jnp.zeros((B, S, D), jnp.float32)
     output0 = jnp.zeros((B, S), jnp.int32)
     attach0 = jnp.full((B, S), -1, jnp.int32)
@@ -130,48 +149,48 @@ def decode_from_memory(params, memory, memory_mask, dims: ModelDims,
         pos = jnp.arange(S)
         self_bias = jnp.where(pos <= t, 0.0, NEG_INF)[None, None, None, :]
 
-        def layer_body(x, xs):
-            lp, kc, vc, ck, cv = xs
-            # self-attention with cache append
-            h = layer_norm(lp["norm1"], x)
-            sa = lp["self_attn"]
-            q = _project(h, sa["wq"], sa["bq"], B, H, Dh, cd)
-            k_t = _project(h, sa["wk"], sa["bk"], B, H, Dh, cd)
-            v_t = _project(h, sa["wv"], sa["bv"], B, H, Dh, cd)
-            kc = jax.lax.dynamic_update_slice(kc, k_t, (0, t, 0, 0))
-            vc = jax.lax.dynamic_update_slice(vc, v_t, (0, t, 0, 0))
-            scores = jnp.einsum("bqhd,bkhd->bhqk", q, kc,
+        for l in range(L):
+            # self-attention with in-place cache append
+            h = layer_norm(n1_l[l], x)
+            qkv = h.astype(cd) @ wqkv_l[l] + bqkv_l[l]
+            qkv = qkv.reshape(B, 3, H, Dh)
+            q, k_t, v_t = qkv[:, 0][:, None], qkv[:, 1][:, None], qkv[:, 2][:, None]
+            k_cache = jax.lax.dynamic_update_slice(
+                k_cache, k_t[None], (l, 0, t, 0, 0))
+            v_cache = jax.lax.dynamic_update_slice(
+                v_cache, v_t[None], (l, 0, t, 0, 0))
+            scores = jnp.einsum("bqhd,bkhd->bhqk", q, k_cache[l],
                                 preferred_element_type=jnp.float32) * scale
             w = jax.nn.softmax(scores + self_bias, axis=-1)
-            a = jnp.einsum("bhqk,bkhd->bqhd", w.astype(cd), vc,
+            a = jnp.einsum("bhqk,bkhd->bqhd", w.astype(cd), v_cache[l],
                            preferred_element_type=jnp.float32)
-            a = a.reshape(B, 1, D).astype(cd) @ sa["wo"].astype(cd) + sa["bo"].astype(cd)
+            sa = sa_l[l]
+            a = a.reshape(B, 1, D).astype(cd) @ sa["wo"].astype(cd) \
+                + sa["bo"].astype(cd)
             x = x + a.astype(x.dtype)
 
             # cross-attention against precomputed K/V
-            h = layer_norm(lp["norm2"], x)
-            ca = lp["cross_attn"]
+            h = layer_norm(n2_l[l], x)
+            ca = ca_l[l]
             q2 = _project(h, ca["wq"], ca["bq"], B, H, Dh, cd)
-            scores = jnp.einsum("bqhd,bkhd->bhqk", q2, ck,
+            scores = jnp.einsum("bqhd,bkhd->bhqk", q2, cross_k[l],
                                 preferred_element_type=jnp.float32) * scale
             w = jax.nn.softmax(scores + cross_bias, axis=-1)
-            c = jnp.einsum("bhqk,bkhd->bqhd", w.astype(cd), cv,
+            c = jnp.einsum("bhqk,bkhd->bqhd", w.astype(cd), cross_v[l],
                            preferred_element_type=jnp.float32)
-            c = c.reshape(B, 1, D).astype(cd) @ ca["wo"].astype(cd) + ca["bo"].astype(cd)
+            c = c.reshape(B, 1, D).astype(cd) @ ca["wo"].astype(cd) \
+                + ca["bo"].astype(cd)
             x = x + c.astype(x.dtype)
 
             # feed-forward
-            h = layer_norm(lp["norm3"], x)
-            f = lp["ffn"]
-            z = jax.nn.relu(h.astype(cd) @ f["w1"].astype(cd) + f["b1"].astype(cd))
+            h = layer_norm(n3_l[l], x)
+            f = ffn_l[l]
+            z = jax.nn.relu(h.astype(cd) @ f["w1"].astype(cd)
+                            + f["b1"].astype(cd))
             z = z @ f["w2"].astype(cd) + f["b2"].astype(cd)
             x = x + z.astype(x.dtype)
-            return x, (kc, vc)
 
-        x, (k_cache, v_cache) = jax.lax.scan(
-            layer_body, x, (layer_params, k_cache, v_cache, cross_k, cross_v))
-
-        h_t = layer_norm(dec["final_norm"], x)[:, 0].astype(jnp.float32)  # (B, D)
+        h_t = layer_norm(dec["final_norm"], x)[:, 0].astype(jnp.float32)
         h_cache = jax.lax.dynamic_update_slice(h_cache, h_t[:, None], (0, t, 0))
 
         # --- mixed vocab ‖ pointer distribution (`models.py:168-186`) ---
