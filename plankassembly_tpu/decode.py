@@ -254,7 +254,7 @@ def greedy_decode_nocache(params, batch, dims: ModelDims,
     prefixes with position masking, which is the only static-shape way to
     express the reference's growing-prefix recompute.
     """
-    from plankassembly_tpu.models.model import decode_stack, embed_output, train_dists  # noqa: F401
+    from plankassembly_tpu.models.model import decode_stack, embed_output
 
     cd = compute_dtype
     S = dims.max_output_length

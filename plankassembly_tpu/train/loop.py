@@ -21,7 +21,6 @@ import dataclasses
 import json
 import os
 import time
-from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -34,7 +33,7 @@ from plankassembly_tpu.decode import greedy_decode, parse_sequence, pick_kv_buck
 from plankassembly_tpu.metrics import batch_scores, build_criterion
 from plankassembly_tpu.models.model import ModelDims, init_params
 from plankassembly_tpu.parallel.mesh import (
-    batch_sharding, make_mesh, shard_batch, shard_params,
+    batch_sharding, make_mesh, shard_params,
 )
 from plankassembly_tpu.train.state import (
     TrainState, init_state, make_optimizer, make_train_step,

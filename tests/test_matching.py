@@ -1,7 +1,6 @@
 """On-device matcher vs scipy ground truth (reference matcher semantics)."""
 import numpy as np
 import jax.numpy as jnp
-import pytest
 from scipy.optimize import linear_sum_assignment
 
 from plankassembly_tpu.metrics import hungarian_match_host, program_boxes

@@ -71,7 +71,7 @@ def test_decoder_causality(params, batch):
     position must be unchanged.
     """
     from plankassembly_tpu.models.model import (
-        decode_stack, embed_output, train_dists, NEG_INF)
+        decode_stack, embed_output, NEG_INF)
 
     def hiddens_fn(b):
         inputs = {k: v for k, v in b.items() if k.startswith("input")}

@@ -6,8 +6,7 @@ import pytest
 
 from plankassembly_tpu.factory import native
 from plankassembly_tpu.factory.projection import (
-    box_view_segments, _node_segments, _silhouettes, project_boxes,
-    postprocess_complete, remove_overlapping_lines,
+    project_boxes, remove_overlapping_lines,
 )
 from plankassembly_tpu.factory.synthetic import generate_cabinet
 

@@ -8,7 +8,6 @@ actually split the intended axes.
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from plankassembly_tpu.models.model import ModelDims, init_params
 from plankassembly_tpu.parallel.mesh import (

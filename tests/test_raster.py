@@ -9,7 +9,7 @@ import pytest
 from plankassembly_tpu.data.raster import rasterize_lines, rasterize_views
 from plankassembly_tpu.models.model import ModelDims
 from plankassembly_tpu.models.vit import (
-    VitDims, encode_raster, greedy_decode_raster, init_vit_params, patchify,
+    VitDims, greedy_decode_raster, init_vit_params, patchify,
     train_step_loss_raster,
 )
 from tests.tiny import random_batch, tiny_config

@@ -7,8 +7,6 @@ decoder hiddens, and the mixed vocab‖pointer‖switch training loss agree to
 float32 tolerance. This is the semantic bridge that justifies expecting
 F1 parity with the published checkpoints.
 """
-import math
-
 import jax
 import jax.numpy as jnp
 import numpy as np

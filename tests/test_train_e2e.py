@@ -8,12 +8,10 @@ import os
 import subprocess
 import sys
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from plankassembly_tpu.config import Config
 from plankassembly_tpu.data import geometry as geo
 from plankassembly_tpu.factory.projection import (
     VIEWS, postprocess_complete, project_boxes,
