@@ -74,13 +74,20 @@ def generate_cabinet(seed: int, max_planks: int = 20):
     by = p.token(bottom, 4)  # bottom.ymax
     ty = p.token(top, 1)     # top.ymin
 
-    # back panel between bottom and top
-    bt = float(rng.choice([9, 12, t]))
-    back = p.add([X0 + t, Y0 + t, Z0, X1 - t, Y1 - t, Z0 + bt],
-                 [lx, by, B(2), rx, ty, -1])
-    bz = p.token(back, 5)  # back.zmax
+    has_back = rng.random() > 0.15  # open-back variant
+    if has_back:
+        bt = float(rng.choice([9, 12, t]))
+        back = p.add([X0 + t, Y0 + t, Z0, X1 - t, Y1 - t, Z0 + bt],
+                     [lx, by, B(2), rx, ty, -1])
+        bz = p.token(back, 5)  # back.zmax
+        interior_z0 = Z0 + bt
+        n_used = 5
+    else:
+        bz = B(2)  # interiors reach the bbox back plane
+        interior_z0 = Z0
+        n_used = 4
 
-    budget = max(0, max_planks - 5)
+    budget = max(0, max_planks - n_used)
 
     # vertical dividers split the interior into bays
     n_div = int(rng.integers(0, min(3, budget) + 1)) if W > 500 else 0
@@ -96,13 +103,18 @@ def generate_cabinet(seed: int, max_planks: int = 20):
     bays = []
     for k in range(n_div):
         x = float(np.round(xs[k]))
-        div = p.add([x, Y0 + t, Z0 + bt, x + t, Y1 - t, Z1],
+        div = p.add([x, Y0 + t, interior_z0, x + t, Y1 - t, Z1],
                     [-1, by, bz, -1, ty, B(5)])
         bays.append((prev_hi_token, p.token(div, 0)))
         prev_hi_token = p.token(div, 3)
         div_tokens.append(div)
         budget -= 1
     bays.append((prev_hi_token, rx))
+
+    def _bay_x(lo_tok, hi_tok):
+        lo_row, lo_coord = divmod(lo_tok, 6)
+        hi_row, hi_coord = divmod(hi_tok, 6)
+        return p.rows[lo_row][lo_coord], p.rows[hi_row][hi_coord]
 
     # shelves inside bays
     for (lo_tok, hi_tok) in bays:
@@ -112,19 +124,34 @@ def generate_cabinet(seed: int, max_planks: int = 20):
         ys = np.sort(rng.uniform(Y0 + t + 50, Y1 - t - 50, n_shelf))
         # minimum spacing so shelf slabs don't overlap
         ys = ys[np.concatenate([[True], np.diff(ys) > 2 * t])]
-        lo_row, lo_coord = divmod(lo_tok, 6)
-        hi_row, hi_coord = divmod(hi_tok, 6)
-        x_lo = p.rows[lo_row][lo_coord]
-        x_hi = p.rows[hi_row][hi_coord]
+        x_lo, x_hi = _bay_x(lo_tok, hi_tok)
         for y in ys:
             if budget <= 0:
                 break
             y = float(np.round(y))
-            p.add([x_lo, y, Z0 + bt, x_hi, y + t, Z1],
+            p.add([x_lo, y, interior_z0, x_hi, y + t, Z1],
                   [lo_tok, -1, bz, hi_tok, -1, B(5)])
             budget -= 1
 
-    # occasionally a toe-kick front rail or a door panel
+    # door panel covering one bay's front (set back by its thickness)
+    if budget > 0 and bays and rng.random() < 0.35:
+        lo_tok, hi_tok = bays[int(rng.integers(0, len(bays)))]
+        x_lo, x_hi = _bay_x(lo_tok, hi_tok)
+        dt_ = float(rng.choice([16, 18]))
+        p.add([x_lo, Y0 + t, Z1 - dt_, x_hi, Y1 - t, Z1],
+              [lo_tok, by, -1, hi_tok, ty, B(5)])
+        budget -= 1
+
+    # drawer front strip at the bottom of a bay
+    if budget > 0 and bays and rng.random() < 0.3:
+        lo_tok, hi_tok = bays[int(rng.integers(0, len(bays)))]
+        x_lo, x_hi = _bay_x(lo_tok, hi_tok)
+        h = float(rng.integers(80, 180))
+        p.add([x_lo, Y0 + t, Z1 - t, x_hi, Y0 + t + h, Z1],
+              [lo_tok, by, -1, hi_tok, -1, B(5)])
+        budget -= 1
+
+    # occasionally a toe-kick front rail
     if budget > 0 and rng.random() < 0.3:
         p.add([X0 + t, Y0 + t, Z1 - t, X1 - t, Y0 + t + float(rng.integers(60, 120)), Z1],
               [lx, by, -1, rx, -1, B(5)])

@@ -71,7 +71,7 @@ def test_synthetic_programs_are_valid():
     for seed in range(30):
         planks, attach = generate_cabinet(seed)
         validate_program(planks, attach)
-        assert 6 <= len(planks) <= 21
+        assert 5 <= len(planks) <= 21
 
 
 def test_synthetic_attachments_exist():
