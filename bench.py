@@ -44,6 +44,18 @@ def main():
     dims = ModelDims.from_config(cfg)
     params = init_params(jax.random.PRNGKey(0), dims)
 
+    # Optional: BENCH_CKPT=<orbax dir> benchmarks a trained checkpoint with
+    # realistic early-exit decoding instead of random weights at the full
+    # 128-step bound (used for reporting; the driver runs the default).
+    import os
+    ckpt = os.environ.get("BENCH_CKPT")
+    if ckpt:
+        import orbax.checkpoint as ocp
+        with ocp.StandardCheckpointer() as ckptr:
+            restored = ckptr.restore(os.path.abspath(ckpt),
+                                     {"params": params})
+        params = restored["params"]
+
     batch_size = 128
     batch_np = _example_batch(cfg, batch_size)
     inputs = {k: jnp.asarray(v) for k, v in batch_np.items()

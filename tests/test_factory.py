@@ -120,3 +120,35 @@ def test_factory_to_dataset_roundtrip(tmp_path):
     assert sample["input_value"].shape == (1199,)
     n_ptr = int((sample["output_label"] >= cfg.DATA.VOCAB_SIZE).sum())
     assert n_ptr == int((attach >= 0).sum())
+
+
+def test_noisy_render_deterministic_per_index(tmp_path):
+    """Per-sample seeding makes noisy test sets reproducible
+    (`render_noisy_svg.py:106`: np.random.seed(index))."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    root = tmp_path / "data"
+    os.makedirs(root / "model")
+    os.makedirs(root / "splits")
+    planks, attach = generate_cabinet(1)
+    with open(root / "model" / "m.json", "w") as f:
+        json.dump({"planks": planks.tolist(), "attach": attach.tolist()}, f)
+    with open(root / "splits" / "test.txt", "w") as f:
+        f.write("m.json\n")
+
+    tool = os.path.join(os.path.dirname(__file__), "..", "tools",
+                        "render_svgs.py")
+    def run():
+        subprocess.run([sys.executable, tool, "--root", str(root),
+                        "--data_type", "noise_10"], check=True,
+                       capture_output=True)
+        with open(root / "data" / "noise_10" / "svgs" / "m_f.svg") as f:
+            return f.read()
+
+    first = run()
+    second = run()
+    assert first == second
+    assert 'stroke="red"' in first or 'stroke="blue"' in first
