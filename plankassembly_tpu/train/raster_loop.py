@@ -32,11 +32,11 @@ class RasterTrainer(Trainer):
         self.vit = VitDims(image_size=image_size, patch_size=patch_size)
         use_flash = (cfg.trainer.fused_attention
                      and jax.default_backend() == "tpu")
-        loss_impl = partial(train_step_loss_raster, vit=self.vit)
         # rebind with the raster loss
         self.train_step_fn = make_train_step(
             self.optimizer, self.dims, compute_dtype=compute_dtype,
-            flash=use_flash, loss_impl=lambda p, b, d, **kw: loss_impl(p, b, d, **kw))
+            flash=use_flash,
+            loss_impl=partial(train_step_loss_raster, vit=self.vit))
 
     def _dataset(self, split_files: str, augmentation: bool):
         from plankassembly_tpu.data.loader import parse_splits_list
