@@ -182,8 +182,10 @@ class Trainer:
                                              metrics={"val/precision": prec,
                                                       "val/recall": rec,
                                                       "val/fmeasure": f1})
-                if cfg.trainer.save_last:
-                    self.save_checkpoint(state, "last", epoch=epoch)
+                    if cfg.trainer.save_last:
+                        self.save_checkpoint(state, "last", epoch=epoch)
+            if cfg.trainer.save_last:
+                self.save_checkpoint(state, "last", epoch=max_epochs - 1)
         return state
 
     # ------------------------------------------------------------------
