@@ -52,9 +52,8 @@ def main():
     if ckpt:
         import orbax.checkpoint as ocp
         with ocp.StandardCheckpointer() as ckptr:
-            restored = ckptr.restore(os.path.abspath(ckpt),
-                                     {"params": params})
-        params = restored["params"]
+            restored = ckptr.restore(os.path.abspath(ckpt))
+        params = jax.tree.map(jnp.asarray, restored["params"])
 
     batch_size = 128
     batch_np = _example_batch(cfg, batch_size)

@@ -54,7 +54,7 @@ class DataLoader:
 
     def __init__(self, dataset, batch_size: int, shuffle: bool = False,
                  drop_last: bool = False, seed: int = 0,
-                 sharding=None, prefetch: bool = True):
+                 sharding=None, prefetch: bool = True, order=None):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -62,6 +62,9 @@ class DataLoader:
         self.rng = np.random.default_rng(seed)
         self.sharding = sharding
         self.prefetch = prefetch
+        # fixed iteration order (e.g. length-sorted eval batching so batched
+        # early-exit decoding isn't gated by one long program per batch)
+        self.order = None if order is None else np.asarray(order)
 
     def __len__(self) -> int:
         n = len(self.dataset)
@@ -70,8 +73,12 @@ class DataLoader:
         return (n + self.batch_size - 1) // self.batch_size
 
     def _batches(self):
-        order = np.arange(len(self.dataset))
+        if self.order is not None:
+            order = self.order
+        else:
+            order = np.arange(len(self.dataset))
         if self.shuffle:
+            order = order.copy()
             self.rng.shuffle(order)
         for start in range(0, len(order), self.batch_size):
             idx = order[start:start + self.batch_size]

@@ -122,13 +122,33 @@ class Trainer:
                           drop_last=True, seed=self.cfg.seed_everything,
                           sharding=batch_sharding(self.mesh))
 
+    @staticmethod
+    def _eval_order(dataset):
+        """Length-sorted eval order: batches of similar program/input length
+        early-exit together and hit smaller kv buckets, instead of every
+        batch being gated by its single longest member. Metrics are
+        order-invariant (macro average per sample)."""
+        import json as _json
+        keys = []
+        for name in dataset.info_files:
+            try:
+                with open(os.path.join(dataset.root, name)) as f:
+                    info = _json.load(f)
+                keys.append((len(info.get("coords", [])),
+                             len(info.get("lines", []))))
+            except Exception:
+                keys.append((1 << 30, 1 << 30))
+        return np.lexsort(([k[1] for k in keys], [k[0] for k in keys]))
+
     def val_dataloader(self) -> DataLoader:
-        return DataLoader(self._dataset(self.cfg.DATASETS_VALID, False),
-                          batch_size=self.global_batch)
+        ds = self._dataset(self.cfg.DATASETS_VALID, False)
+        return DataLoader(ds, batch_size=self.global_batch,
+                          order=self._eval_order(ds))
 
     def test_dataloader(self) -> DataLoader:
-        return DataLoader(self._dataset(self.cfg.DATASETS_TEST, False),
-                          batch_size=self.global_batch)
+        ds = self._dataset(self.cfg.DATASETS_TEST, False)
+        return DataLoader(ds, batch_size=self.global_batch,
+                          order=self._eval_order(ds))
 
     # ------------------------------------------------------------------
     # fit
