@@ -153,6 +153,9 @@ class SidefaceDataset:
         self.max_thickness = data.MAX_THICKNESS / data.SCALE
         self.min_thickness = data.MIN_THICKNESS / data.SCALE
         self.merge_tolerance = data.MERGE_TOLERANCE / data.SCALE
+        # clean (un-augmented) extractions are deterministic per sample —
+        # cache them; only noisy augmentation re-runs the polygonizer
+        self._clean_cache: dict[int, tuple] = {}
 
     def __len__(self) -> int:
         return len(self.info_files)
@@ -183,9 +186,13 @@ class SidefaceDataset:
 
         # degenerate case: fall back to clean lines (`sideface_data.py:240-245`)
         if len(faces) == 0:
-            faces, faceviews = extract_sidefaces(
-                linestrings, views, self.max_thickness,
-                self.merge_tolerance, self.min_thickness)
+            if index in self._clean_cache:
+                faces, faceviews = self._clean_cache[index]
+            else:
+                faces, faceviews = extract_sidefaces(
+                    linestrings, views, self.max_thickness,
+                    self.merge_tolerance, self.min_thickness)
+                self._clean_cache[index] = (faces, faceviews)
 
         inputs = pack_input_sequence(
             faces, faceviews, None, self.cfg.DATA, self.cfg.TOKEN, with_type=False)
