@@ -42,6 +42,10 @@ class DataConfig:
     NOISE_RATIO: float = 0.15
     NOISE_LENGTH: float = 0.02
 
+    # Raster modality (ViT variant) image geometry.
+    IMAGE_SIZE: int = 256
+    PATCH_SIZE: int = 16
+
     # Sideface extraction (`configs/train_sideface.yaml:49-52`); units of
     # SCALE (model units). Only used by the sideface modality.
     SCALE: float = 1280.0

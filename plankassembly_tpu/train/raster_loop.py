@@ -27,9 +27,11 @@ class RasterTrainer(Trainer):
     train_augmentation = True
 
     def __init__(self, cfg: Config, log_dir=None, compute_dtype=jnp.bfloat16,
-                 image_size: int = 256, patch_size: int = 16):
+                 image_size: int | None = None, patch_size: int | None = None):
         super().__init__(cfg, log_dir=log_dir, compute_dtype=compute_dtype)
-        self.vit = VitDims(image_size=image_size, patch_size=patch_size)
+        self.vit = VitDims(
+            image_size=image_size or cfg.DATA.IMAGE_SIZE,
+            patch_size=patch_size or cfg.DATA.PATCH_SIZE)
         use_flash = (cfg.trainer.fused_attention
                      and jax.default_backend() == "tpu")
         # rebind with the raster loss
