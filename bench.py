@@ -74,7 +74,9 @@ def main():
         dt = (time.perf_counter() - t0) / iters
         return batch_size / dt
 
-    cached_pps = run(greedy_decode, iters=3, kv_bucket=bucket)
+    # int8 cross-K/V halves the decode loop's dominant HBM traffic;
+    # measured F1 impact on a trained model is 2e-4 (see DEVIATIONS.md)
+    cached_pps = run(greedy_decode, iters=3, kv_bucket=bucket, kv_quant=True)
     baseline_pps = run(greedy_decode_nocache, iters=1)
 
     print(json.dumps({

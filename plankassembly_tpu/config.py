@@ -109,6 +109,9 @@ class TrainerConfig:
     # Use the Pallas fused attention kernels (incl. the differentiable
     # in-kernel-dropout kernel) in the training step. TPU only.
     fused_attention: bool = True
+    # int8-quantize decode cross-attention K/V (~17% faster eval decode,
+    # measured F1 impact 2e-4; off by default for strict parity).
+    kv_quant: bool = False
 
 
 @dataclass(frozen=True)

@@ -62,9 +62,9 @@ def precompute_cross_kv(params, memory, dims: ModelDims, compute_dtype):
 
 
 @partial(jax.jit, static_argnames=("dims", "compute_dtype", "early_exit",
-                                   "kv_bucket"))
+                                   "kv_bucket", "kv_quant"))
 def greedy_decode(params, batch, dims: ModelDims, compute_dtype=jnp.bfloat16,
-                  early_exit=True, kv_bucket=None):
+                  early_exit=True, kv_bucket=None, kv_quant=False):
     """Batched greedy decode. Returns dict with:
       samples (B, S) int32 generated tokens,
       attach  (B, S) int32 pointer indices (-1 = none),
@@ -83,11 +83,12 @@ def greedy_decode(params, batch, dims: ModelDims, compute_dtype=jnp.bfloat16,
                     compute_dtype=compute_dtype, flash=True)
     return decode_from_memory(params, memory, inputs["input_mask"], dims,
                               compute_dtype=compute_dtype,
-                              early_exit=early_exit)
+                              early_exit=early_exit, kv_quant=kv_quant)
 
 
 def decode_from_memory(params, memory, memory_mask, dims: ModelDims,
-                       compute_dtype=jnp.bfloat16, early_exit=True):
+                       compute_dtype=jnp.bfloat16, early_exit=True,
+                       kv_quant=False):
     """KV-cached decode loop over a precomputed encoder memory — shared by
     the token-input model and the raster/ViT variant (`models/vit.py`).
     memory (B, Li, D); memory_mask (B, Li) bool True = padded key."""
@@ -98,6 +99,19 @@ def decode_from_memory(params, memory, memory_mask, dims: ModelDims,
     B = memory.shape[0]
 
     cross_k, cross_v = precompute_cross_kv(params, memory, dims, cd)
+    if kv_quant:
+        # int8 cross-K/V: the decode loop re-reads all cross K/V from HBM
+        # every step (its dominant traffic); per-(layer,batch,head) symmetric
+        # int8 halves it vs bf16. Dequant fuses into the attention matmuls.
+        def _q(x):
+            scale = jnp.max(jnp.abs(x), axis=(2, 4), keepdims=True) / 127.0
+            scale = jnp.maximum(scale, 1e-8)
+            q = jnp.round(x.astype(jnp.float32) / scale).astype(jnp.int8)
+            return q, scale.astype(jnp.float32)
+        ck_q, ck_s = _q(cross_k)
+        cv_q, cv_s = _q(cross_v)
+        cross_k = None, (ck_q, ck_s)
+        cross_v = None, (cv_q, cv_s)
     cross_bias = jnp.where(memory_mask, NEG_INF, 0.0)[:, None, None, :]
     cross_bias = cross_bias.astype(jnp.float32)
 
@@ -173,10 +187,17 @@ def decode_from_memory(params, memory, memory_mask, dims: ModelDims,
             h = layer_norm(n2_l[l], x)
             ca = ca_l[l]
             q2 = _project(h, ca["wq"], ca["bq"], B, H, Dh, cd)
-            scores = jnp.einsum("bqhd,bkhd->bhqk", q2, cross_k[l],
+            if kv_quant:
+                ck = (cross_k[1][0][l].astype(cd)
+                      * cross_k[1][1][l].astype(cd))
+                cv = (cross_v[1][0][l].astype(cd)
+                      * cross_v[1][1][l].astype(cd))
+            else:
+                ck, cv = cross_k[l], cross_v[l]
+            scores = jnp.einsum("bqhd,bkhd->bhqk", q2, ck,
                                 preferred_element_type=jnp.float32) * scale
             w = jax.nn.softmax(scores + cross_bias, axis=-1)
-            c = jnp.einsum("bhqk,bkhd->bqhd", w.astype(cd), cross_v[l],
+            c = jnp.einsum("bhqk,bkhd->bqhd", w.astype(cd), cv,
                            preferred_element_type=jnp.float32)
             c = c.reshape(B, 1, D).astype(cd) @ ca["wo"].astype(cd) \
                 + ca["bo"].astype(cd)

@@ -221,7 +221,8 @@ class Trainer:
         bucket = pick_kv_bucket(inputs["input_mask"], quantum=512)
         out = greedy_decode(state.params, inputs, self.dims,
                             compute_dtype=self.compute_dtype,
-                            kv_bucket=bucket)
+                            kv_bucket=bucket,
+                            kv_quant=self.cfg.trainer.kv_quant)
         return arrays, out
 
     def validate(self, state: TrainState) -> tuple[float, float, float]:

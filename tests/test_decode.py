@@ -93,3 +93,13 @@ def test_pick_kv_bucket():
     assert pick_kv_bucket(mask, quantum=512) == 512
     mask2 = np.zeros((1, 600), bool)  # no padding at all
     assert pick_kv_bucket(mask2) == 600
+
+
+def test_kv_quant_decode_close(params, inputs):
+    """int8 cross-KV decode: tokens may rarely flip near ties, but with
+    random weights and tiny scale the streams should match closely."""
+    base = greedy_decode(params, inputs, DIMS, compute_dtype=jnp.float32)
+    quant = greedy_decode(params, inputs, DIMS, compute_dtype=jnp.float32,
+                          kv_quant=True)
+    a, b = np.asarray(base["samples"]), np.asarray(quant["samples"])
+    assert (a == b).mean() > 0.9, (a == b).mean()
