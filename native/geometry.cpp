@@ -209,4 +209,59 @@ int pa_dedupe_covers(const double* segs, const int32_t* types, int n,
   return static_cast<int>(kept.size());
 }
 
+// Supersampled polyline rasterizer (raster/ViT modality input).
+//
+// Mirrors plankassembly_tpu/data/raster.py::rasterize_lines exactly: sample
+// each segment at n = max(2, ceil(len * scale * 2)) points via linspace,
+// splat max(intensity) at int-cast pixel coords on a supersample*size grid,
+// then max-pool down. Parity-tested in tests/test_native.py.
+//
+// pts:        (total_pts, 2) concatenated polyline vertices
+// offsets:    (n_lines + 1,) vertex ranges per polyline
+// intensities:(n_lines,)
+// out:        (size, size) float32, caller-zeroed
+int pa_rasterize(const double* pts, const int32_t* offsets, int n_lines,
+                 const double* intensities, int size, int supersample,
+                 double world_extent, float* out) {
+  const int ss = size * supersample;
+  std::vector<float> img(static_cast<size_t>(ss) * ss, 0.0f);
+  const double scale = ss / (2.0 * world_extent);
+
+  for (int li = 0; li < n_lines; ++li) {
+    const float inten = static_cast<float>(intensities[li]);
+    for (int32_t v = offsets[li]; v + 1 < offsets[li + 1]; ++v) {
+      const double px = pts[2 * v], py = pts[2 * v + 1];
+      const double qx = pts[2 * v + 2], qy = pts[2 * v + 3];
+      const double len = std::hypot(qx - px, qy - py);
+      const int n = std::max(2, static_cast<int>(std::ceil(len * scale * 2)));
+      for (int i = 0; i < n; ++i) {
+        const double t = static_cast<double>(i) / (n - 1);
+        const double x = px + t * (qx - px);
+        const double y = py + t * (qy - py);
+        int xi = static_cast<int>((x + world_extent) * scale);
+        int yi = static_cast<int>((y + world_extent) * scale);
+        xi = std::min(std::max(xi, 0), ss - 1);
+        yi = std::min(std::max(yi, 0), ss - 1);
+        float& cell = img[static_cast<size_t>(yi) * ss + xi];
+        cell = std::max(cell, inten);
+      }
+    }
+  }
+
+  // max-pool supersample x supersample -> size x size
+  for (int r = 0; r < size; ++r) {
+    for (int c = 0; c < size; ++c) {
+      float m = 0.0f;
+      for (int dr = 0; dr < supersample; ++dr) {
+        const size_t row = static_cast<size_t>(r * supersample + dr) * ss;
+        for (int dc = 0; dc < supersample; ++dc) {
+          m = std::max(m, img[row + c * supersample + dc]);
+        }
+      }
+      out[static_cast<size_t>(r) * size + c] = m;
+    }
+  }
+  return 0;
+}
+
 }  // extern "C"

@@ -28,6 +28,14 @@ def rasterize_lines(lines, types, image_size: int = 256,
     take the max. Supersampled splatting keeps thin geometry visible at any
     angle without an AA kernel.
     """
+    from plankassembly_tpu.factory import native
+    if native.available():
+        intensities = [1.0 if t == 0 else 0.5 for t in types]
+        out = native.rasterize(list(lines), intensities, image_size,
+                               supersample, world_extent)
+        if out is not None:
+            return out
+
     ss = image_size * supersample
     img = np.zeros((ss, ss), dtype=np.float32)
     scale = ss / (2.0 * world_extent)

@@ -41,6 +41,13 @@ def _load():
         ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_int32),
         ctypes.c_int, ctypes.POINTER(ctypes.c_uint8),
     ]
+    if hasattr(lib, "pa_rasterize"):
+        lib.pa_rasterize.restype = ctypes.c_int
+        lib.pa_rasterize.argtypes = [
+            ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int, ctypes.POINTER(ctypes.c_double), ctypes.c_int,
+            ctypes.c_int, ctypes.c_double, ctypes.POINTER(ctypes.c_float),
+        ]
     _LIB = lib
     return _LIB
 
@@ -89,3 +96,29 @@ def dedupe_covers(segs: np.ndarray, types: np.ndarray):
         _dptr(segs), types.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         len(segs), keep.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
     return keep.astype(bool)
+
+
+def rasterize(lines, intensities, image_size: int, supersample: int = 2,
+              world_extent: float = 1.0):
+    """C++ polyline rasterizer; returns (size, size) float32 or None if the
+    native lib is unavailable or lacks pa_rasterize (rebuild)."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "pa_rasterize"):
+        return None
+    pts_list, offsets = [], [0]
+    for line in lines:
+        arr = np.ascontiguousarray(line, dtype=np.float64).reshape(-1, 2)
+        pts_list.append(arr)
+        offsets.append(offsets[-1] + len(arr))
+    if not pts_list:
+        return np.zeros((image_size, image_size), np.float32)
+    pts = np.concatenate(pts_list)
+    offsets = np.asarray(offsets, dtype=np.int32)
+    inten = np.ascontiguousarray(intensities, dtype=np.float64)
+    out = np.zeros((image_size, image_size), dtype=np.float32)
+    lib.pa_rasterize(
+        _dptr(pts), offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        len(lines), _dptr(inten), image_size, supersample,
+        ctypes.c_double(world_extent),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+    return out
