@@ -61,3 +61,22 @@ def test_native_is_faster():
     t_native = run(True)
     t_numpy = run(False)
     assert t_native < t_numpy, (t_native, t_numpy)
+
+
+@needs_native
+def test_rasterize_native_matches_numpy():
+    import plankassembly_tpu.data.raster as R
+    import plankassembly_tpu.factory.native as nat
+
+    rng = np.random.default_rng(3)
+    lines = [rng.uniform(-1, 1, (2, 2)) for _ in range(25)]
+    types = [int(rng.random() > 0.5) for _ in range(25)]
+    fast = R.rasterize_lines(lines, types, 128)
+    orig = nat.available
+    nat.available = lambda: False
+    try:
+        slow = R.rasterize_lines(lines, types, 128)
+    finally:
+        nat.available = orig
+    np.testing.assert_array_equal(fast, slow)
+    assert fast.max() == 1.0
