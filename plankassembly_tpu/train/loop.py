@@ -81,7 +81,14 @@ class Trainer:
         self.tensor_parallel = tp > 1
         self.global_batch = cfg.BATCH_SIZE * num_data
 
-        if tc.detect_anomaly:
+        # `detect_anomaly: True` (reference `configs/train_complete.yaml:16`)
+        # maps to a per-log-step finite-loss assertion (see `fit`): torch's
+        # detect_anomaly instruments only backward, but jax_debug_nans
+        # forces synchronous dispatch on TPU, which is unacceptable as an
+        # always-on default. Set PLANK_DEBUG_NANS=1 to additionally enable
+        # jax_debug_nans for NaN localization (DEVIATIONS.md).
+        self.detect_anomaly = tc.detect_anomaly
+        if tc.detect_anomaly and os.environ.get("PLANK_DEBUG_NANS") == "1":
             jax.config.update("jax_debug_nans", True)
 
         self.log_dir = log_dir or os.path.join(
@@ -122,12 +129,19 @@ class Trainer:
                           drop_last=True, seed=self.cfg.seed_everything,
                           sharding=batch_sharding(self.mesh))
 
-    @staticmethod
-    def _eval_order(dataset):
+    _eval_order_cache: dict = {}
+
+    def _eval_order(self, dataset):
         """Length-sorted eval order: batches of similar program/input length
         early-exit together and hit smaller kv buckets, instead of every
         batch being gated by its single longest member. Metrics are
-        order-invariant (macro average per sample)."""
+        order-invariant (macro average per sample). Cached per dataset —
+        val/test dataloaders are rebuilt every validation and the sort
+        needs one JSON read per sample."""
+        cache_key = (dataset.root, tuple(dataset.info_files))
+        hit = self._eval_order_cache.get(cache_key)
+        if hit is not None:
+            return hit
         import json as _json
         keys = []
         for name in dataset.info_files:
@@ -138,7 +152,9 @@ class Trainer:
                              len(info.get("lines", []))))
             except Exception:
                 keys.append((1 << 30, 1 << 30))
-        return np.lexsort(([k[1] for k in keys], [k[0] for k in keys]))
+        order = np.lexsort(([k[1] for k in keys], [k[0] for k in keys]))
+        self._eval_order_cache[cache_key] = order
+        return order
 
     def val_dataloader(self) -> DataLoader:
         ds = self._dataset(self.cfg.DATASETS_VALID, False)
@@ -180,9 +196,15 @@ class Trainer:
                     timer.tick(mets["loss"])
                     step = int(state.step)
                     if step % cfg.trainer.log_every_n_steps == 0:
+                        loss_host = float(mets["loss"])
+                        if self.detect_anomaly and not np.isfinite(loss_host):
+                            raise FloatingPointError(
+                                f"non-finite train loss {loss_host} at step "
+                                f"{step} (epoch {epoch}); rerun with "
+                                "PLANK_DEBUG_NANS=1 to localize")
                         payload = {
                             "epoch": epoch,
-                            "train/loss": float(mets["loss"]),
+                            "train/loss": loss_host,
                             "train/accuracy": float(mets["accuracy"]),
                         }
                         if timer.steps_per_sec:
