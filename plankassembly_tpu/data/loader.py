@@ -54,7 +54,8 @@ class DataLoader:
 
     def __init__(self, dataset, batch_size: int, shuffle: bool = False,
                  drop_last: bool = False, seed: int = 0,
-                 sharding=None, prefetch: bool = True, order=None):
+                 sharding=None, prefetch: bool = True, order=None,
+                 num_workers: int = 0):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -65,6 +66,23 @@ class DataLoader:
         # fixed iteration order (e.g. length-sorted eval batching so batched
         # early-exit decoding isn't gated by one long program per batch)
         self.order = None if order is None else np.asarray(order)
+        # NUM_WORKERS (reference `configs/train_complete.yaml:31`): threaded
+        # sample packing. Threads — not processes — because the hot parts of
+        # __getitem__ release the GIL (file IO, numpy, the ctypes C++
+        # rasterizer), and a single JAX process must own the TPU client.
+        self.num_workers = int(num_workers)
+        self._pool = None
+
+    def _get_samples(self, idx) -> list[dict]:
+        if self.num_workers > 1:
+            if self._pool is None:
+                from concurrent.futures import ThreadPoolExecutor
+                self._pool = ThreadPoolExecutor(
+                    max_workers=self.num_workers,
+                    thread_name_prefix="loader-worker")
+            return list(self._pool.map(self.dataset.__getitem__,
+                                       [int(i) for i in idx]))
+        return [self.dataset[int(i)] for i in idx]
 
     def __len__(self) -> int:
         n = len(self.dataset)
@@ -84,8 +102,7 @@ class DataLoader:
             idx = order[start:start + self.batch_size]
             if self.drop_last and len(idx) < self.batch_size:
                 return
-            samples = [self.dataset[int(i)] for i in idx]
-            yield collate(samples)
+            yield collate(self._get_samples(idx))
 
     def _put(self, batch: dict) -> dict:
         if self.sharding is None:

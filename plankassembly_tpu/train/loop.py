@@ -127,7 +127,8 @@ class Trainer:
                                         self.train_augmentation),
                           batch_size=self.global_batch, shuffle=True,
                           drop_last=True, seed=self.cfg.seed_everything,
-                          sharding=batch_sharding(self.mesh))
+                          sharding=batch_sharding(self.mesh),
+                          num_workers=self.cfg.NUM_WORKERS)
 
     _eval_order_cache: dict = {}
 
@@ -159,12 +160,14 @@ class Trainer:
     def val_dataloader(self) -> DataLoader:
         ds = self._dataset(self.cfg.DATASETS_VALID, False)
         return DataLoader(ds, batch_size=self.global_batch,
-                          order=self._eval_order(ds))
+                          order=self._eval_order(ds),
+                          num_workers=self.cfg.NUM_WORKERS)
 
     def test_dataloader(self) -> DataLoader:
         ds = self._dataset(self.cfg.DATASETS_TEST, False)
         return DataLoader(ds, batch_size=self.global_batch,
-                          order=self._eval_order(ds))
+                          order=self._eval_order(ds),
+                          num_workers=self.cfg.NUM_WORKERS)
 
     # ------------------------------------------------------------------
     # fit
