@@ -49,6 +49,11 @@ def main(trainer_cls, argv: list[str] | None = None):
     subcommand, config_path, ckpt_path, overrides = parse_args(argv)
     cfg = load_config(config_path, overrides)
 
+    # multi-host (DCN): PLANK_NUM_PROCESSES/PLANK_COORDINATOR/PLANK_PROCESS_ID
+    # or PLANK_DISTRIBUTED=1 (TPU pod auto-detect); no-op single host.
+    from plankassembly_tpu.parallel.multihost import initialize_from_env
+    initialize_from_env()
+
     trainer = trainer_cls(cfg)
     print(f"log_dir: {trainer.log_dir}", flush=True)
 

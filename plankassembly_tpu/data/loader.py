@@ -55,7 +55,7 @@ class DataLoader:
     def __init__(self, dataset, batch_size: int, shuffle: bool = False,
                  drop_last: bool = False, seed: int = 0,
                  sharding=None, prefetch: bool = True, order=None,
-                 num_workers: int = 0):
+                 num_workers: int = 0, pad_to_batch: bool = False):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -63,6 +63,18 @@ class DataLoader:
         self.rng = np.random.default_rng(seed)
         self.sharding = sharding
         self.prefetch = prefetch
+        # pad_to_batch: short final batches are padded by repeating row 0 so
+        # jit shapes stay static; a 'sample_valid' bool field marks real rows.
+        self.pad_to_batch = pad_to_batch
+        # Multi-host: every process iterates the same global batch order
+        # (identical seed), but loads/collates only the rows whose shards it
+        # owns under `sharding`, then assembles the global array via
+        # jax.make_array_from_process_local_data (parallel/multihost.py).
+        if sharding is not None and jax.process_count() > 1:
+            from plankassembly_tpu.parallel import multihost
+            self.local_rows = multihost.owned_row_range(sharding, batch_size)
+        else:
+            self.local_rows = (0, batch_size)
         # fixed iteration order (e.g. length-sorted eval batching so batched
         # early-exit decoding isn't gated by one long program per batch)
         self.order = None if order is None else np.asarray(order)
@@ -98,19 +110,42 @@ class DataLoader:
         if self.shuffle:
             order = order.copy()
             self.rng.shuffle(order)
+        lo, hi = self.local_rows
         for start in range(0, len(order), self.batch_size):
             idx = order[start:start + self.batch_size]
             if self.drop_last and len(idx) < self.batch_size:
                 return
-            yield collate(self._get_samples(idx))
+            valid = None
+            if self.pad_to_batch and len(idx) < self.batch_size:
+                valid = np.zeros(self.batch_size, dtype=bool)
+                valid[: len(idx)] = True
+                idx = np.concatenate(
+                    [idx, np.repeat(idx[:1], self.batch_size - len(idx))])
+            elif self.pad_to_batch:
+                valid = np.ones(self.batch_size, dtype=bool)
+            # load only this process's rows (full range on single host)
+            local_hi = min(hi, len(idx))
+            batch = collate(self._get_samples(idx[lo:local_hi]))
+            if valid is not None:
+                batch["sample_valid"] = valid[lo:local_hi]
+                batch["_local_valid"] = valid[lo:local_hi]
+            batch["_rows"] = (lo, local_hi)
+            yield batch
 
     def _put(self, batch: dict) -> dict:
         if self.sharding is None:
             return batch
+        multiproc = jax.process_count() > 1
+        if multiproc:
+            from plankassembly_tpu.parallel.multihost import make_global
         out = {}
         for key, value in batch.items():
-            if isinstance(value, np.ndarray):
-                out[key] = jax.device_put(value, self.sharding)
+            if isinstance(value, np.ndarray) and not key.startswith("_"):
+                if multiproc:
+                    out[key] = make_global(self.sharding, value,
+                                           self.batch_size)
+                else:
+                    out[key] = jax.device_put(value, self.sharding)
             else:
                 out[key] = value
         return out

@@ -62,9 +62,10 @@ def precompute_cross_kv(params, memory, dims: ModelDims, compute_dtype):
 
 
 @partial(jax.jit, static_argnames=("dims", "compute_dtype", "early_exit",
-                                   "kv_bucket", "kv_quant"))
+                                   "kv_bucket", "kv_quant", "cross_impl"))
 def greedy_decode(params, batch, dims: ModelDims, compute_dtype=jnp.bfloat16,
-                  early_exit=True, kv_bucket=None, kv_quant=False):
+                  early_exit=True, kv_bucket=None, kv_quant=False,
+                  cross_impl="auto"):
     """Batched greedy decode. Returns dict with:
       samples (B, S) int32 generated tokens,
       attach  (B, S) int32 pointer indices (-1 = none),
@@ -83,23 +84,90 @@ def greedy_decode(params, batch, dims: ModelDims, compute_dtype=jnp.bfloat16,
                     compute_dtype=compute_dtype, flash=True)
     return decode_from_memory(params, memory, inputs["input_mask"], dims,
                               compute_dtype=compute_dtype,
-                              early_exit=early_exit, kv_quant=kv_quant)
+                              early_exit=early_exit, kv_quant=kv_quant,
+                              cross_impl=cross_impl)
 
 
 def decode_from_memory(params, memory, memory_mask, dims: ModelDims,
                        compute_dtype=jnp.bfloat16, early_exit=True,
-                       kv_quant=False):
+                       kv_quant=False, cross_impl="auto"):
     """KV-cached decode loop over a precomputed encoder memory — shared by
     the token-input model and the raster/ViT variant (`models/vit.py`).
-    memory (B, Li, D); memory_mask (B, Li) bool True = padded key."""
+    memory (B, Li, D); memory_mask (B, Li) bool True = padded key.
+
+    cross_impl: "kernel" (Pallas fused cross-attention, the TPU fast path —
+    see `ops/cross_decode.py`), "xla" (einsum fallback, any backend),
+    "kernel-interpret" (Pallas interpret mode, for CPU parity tests), or
+    "auto" (kernel on TPU, xla elsewhere).
+    """
+    if cross_impl == "auto":
+        cross_impl = "mxu" if jax.default_backend() == "tpu" else "xla"
+    use_kernel = cross_impl in ("kernel", "kernel-interpret")
+    use_mxu = cross_impl == "mxu"
+
     cd = compute_dtype
     S = dims.max_output_length
     H, Dh, D = dims.num_head, dims.head_dim, dims.num_model
     dof = dims.num_output_dof
     B = memory.shape[0]
+    Li = memory.shape[1]
 
     cross_k, cross_v = precompute_cross_kv(params, memory, dims, cd)
-    if kv_quant:
+    if use_kernel:
+        from plankassembly_tpu.ops.cross_decode import (
+            cross_attn_decode, quantize_rows,
+        )
+        Ld = dims.num_decoder_layers
+        BH = B * H
+        # head-major layouts: per-(batch, head) K/V tiles are contiguous
+        ck_hm = cross_k.transpose(0, 1, 3, 4, 2).reshape(Ld, BH, Dh, Li)
+        cv_hm = cross_v.transpose(0, 1, 3, 2, 4).reshape(Ld, BH, Li, Dh)
+        bias_bh = jnp.broadcast_to(
+            jnp.where(memory_mask, NEG_INF, 0.0)[:, None, :]
+            .astype(jnp.float32), (B, H, Li)).reshape(BH, Li)
+        if kv_quant:
+            ck_hm, ck_s = quantize_rows(ck_hm, axes=(2, 3))
+            cv_hm, cv_s = quantize_rows(cv_hm, axes=(2, 3))
+            ck_s = ck_s.reshape(Ld, BH, 1)
+            cv_s = cv_s.reshape(Ld, BH, 1)
+        else:
+            ck_s = cv_s = None
+        cross_k = cross_v = None  # free the (L,B,Li,H,Dh) layout
+    elif use_mxu:
+        # Block-diagonal-query MXU path (the TPU fast path). The per-step
+        # cross-attention is B*H independent (1,Dh)x(Dh,Li) GEMVs, which XLA
+        # schedules ~3.5x off the DMA roofline and a VPU kernel turns
+        # compute-bound. Trick: embed the H per-head queries as the
+        # block-diagonal rows of a (H, D) matrix; then
+        #   scores[b] = Qblk[b] @ K_flat[b]^T      (H,D)x(D,Li)  — MXU,
+        # with K_flat = memory @ wk the UNSPLIT (B, Li, D) projection, and
+        #   out_full[b] = W[b] @ V_flat[b]          (H,Li)x(Li,D) — MXU,
+        # from which head h keeps columns [h*Dh:(h+1)*Dh] (diagonal blocks).
+        # Extra MXU FLOPs (contraction over D instead of Dh) are free at
+        # these sizes; HBM still sees exactly one K/V read per step. int8
+        # scales are per (b, head-block) and fold into Qblk rows / the
+        # extracted output, adding no traffic.
+        from plankassembly_tpu.ops.cross_decode import quantize_rows
+        Ld = dims.num_decoder_layers
+        k_flat = cross_k.reshape(Ld, B, Li, D)
+        v_flat = cross_v.reshape(Ld, B, Li, D)
+        if kv_quant:
+            # absmax per (layer, batch, head-column-block)
+            k4 = k_flat.reshape(Ld, B, Li, H, Dh)
+            v4 = v_flat.reshape(Ld, B, Li, H, Dh)
+            k4_q, ck_s = quantize_rows(k4, axes=(2, 4))
+            v4_q, cv_s = quantize_rows(v4, axes=(2, 4))
+            k_flat = k4_q.reshape(Ld, B, Li, D)
+            v_flat = v4_q.reshape(Ld, B, Li, D)
+            ck_s = ck_s.reshape(Ld, B, H)   # (l, b, h)
+            cv_s = cv_s.reshape(Ld, B, H)
+        else:
+            ck_s = cv_s = None
+        eye_h = jnp.eye(H, dtype=jnp.float32)
+        bias_b = jnp.where(memory_mask, NEG_INF, 0.0)[:, None, :]
+        bias_b = bias_b.astype(jnp.float32)  # (B, 1, Li)
+        cross_k = cross_v = None
+    elif kv_quant:
         # int8 cross-K/V: the decode loop re-reads all cross K/V from HBM
         # every step (its dominant traffic); per-(layer,batch,head) symmetric
         # int8 halves it vs bf16. Dequant fuses into the attention matmuls.
@@ -187,20 +255,47 @@ def decode_from_memory(params, memory, memory_mask, dims: ModelDims,
             h = layer_norm(n2_l[l], x)
             ca = ca_l[l]
             q2 = _project(h, ca["wq"], ca["bq"], B, H, Dh, cd)
-            if kv_quant:
-                ck = (cross_k[1][0][l].astype(cd)
-                      * cross_k[1][1][l].astype(cd))
-                cv = (cross_v[1][0][l].astype(cd)
-                      * cross_v[1][1][l].astype(cd))
+            if use_kernel:
+                c = cross_attn_decode(
+                    q2.reshape(B * H, Dh), ck_hm[l], cv_hm[l], bias_bh,
+                    None if ck_s is None else ck_s[l],
+                    None if cv_s is None else cv_s[l],
+                    sm_scale=scale,
+                    interpret=(cross_impl == "kernel-interpret"))
+                c = c.reshape(B, 1, D)
+            elif use_mxu:
+                qh = q2[:, 0].astype(jnp.float32)       # (B, H, Dh)
+                if ck_s is not None:
+                    qh = qh * ck_s[l][..., None]        # fold K dequant
+                qblk = (qh[:, :, None, :]
+                        * eye_h[None, :, :, None]).reshape(B, H, D)
+                sc = jnp.einsum(
+                    "bhe,ble->bhl", qblk.astype(cd), k_flat[l].astype(cd),
+                    preferred_element_type=jnp.float32) * scale
+                w = jax.nn.softmax(sc + bias_b, axis=-1)  # (B, H, Li)
+                of = jnp.einsum(
+                    "bhl,ble->bhe", w.astype(cd), v_flat[l].astype(cd),
+                    preferred_element_type=jnp.float32)
+                c = (of.reshape(B, H, H, Dh)
+                     * eye_h[None, :, :, None]).sum(axis=2)  # (B, H, Dh)
+                if cv_s is not None:
+                    c = c * cv_s[l][..., None]
+                c = c.reshape(B, 1, D)
             else:
-                ck, cv = cross_k[l], cross_v[l]
-            scores = jnp.einsum("bqhd,bkhd->bhqk", q2, ck,
-                                preferred_element_type=jnp.float32) * scale
-            w = jax.nn.softmax(scores + cross_bias, axis=-1)
-            c = jnp.einsum("bhqk,bkhd->bqhd", w.astype(cd), cv,
-                           preferred_element_type=jnp.float32)
-            c = c.reshape(B, 1, D).astype(cd) @ ca["wo"].astype(cd) \
-                + ca["bo"].astype(cd)
+                if kv_quant:
+                    ck = (cross_k[1][0][l].astype(cd)
+                          * cross_k[1][1][l].astype(cd))
+                    cv = (cross_v[1][0][l].astype(cd)
+                          * cross_v[1][1][l].astype(cd))
+                else:
+                    ck, cv = cross_k[l], cross_v[l]
+                scores = jnp.einsum("bqhd,bkhd->bhqk", q2, ck,
+                                    preferred_element_type=jnp.float32) * scale
+                w = jax.nn.softmax(scores + cross_bias, axis=-1)
+                c = jnp.einsum("bhqk,bkhd->bqhd", w.astype(cd), cv,
+                               preferred_element_type=jnp.float32)
+                c = c.reshape(B, 1, D)
+            c = c.astype(cd) @ ca["wo"].astype(cd) + ca["bo"].astype(cd)
             x = x + c.astype(x.dtype)
 
             # feed-forward
@@ -352,11 +447,25 @@ def greedy_decode_nocache(params, batch, dims: ModelDims,
 def pick_kv_bucket(input_mask, quantum: int = 128) -> int:
     """Smallest multiple of `quantum` covering every real (non-pad) input
     token in the batch. Static-shape-friendly: at most Li/quantum distinct
-    buckets ever compile."""
-    lengths = np.asarray(~np.asarray(input_mask), dtype=np.int64).sum(axis=-1)
-    max_len = int(lengths.max()) if lengths.size else quantum
+    buckets ever compile. Multi-host: inspects only this process's
+    addressable shards, then maxes across processes (the bucket is a static
+    compile argument, so every process must pick the same one)."""
+    width = int(input_mask.shape[-1])
+    if (hasattr(input_mask, "is_fully_addressable")
+            and not input_mask.is_fully_addressable):
+        shards = [np.asarray(s.data) for s in input_mask.addressable_shards]
+        lengths = np.concatenate(
+            [(~m).sum(axis=-1).ravel() for m in shards])
+        max_len = int(lengths.max()) if lengths.size else quantum
+        from jax.experimental import multihost_utils
+        max_len = int(np.max(multihost_utils.process_allgather(
+            np.asarray(max_len, np.int32))))
+    else:
+        lengths = np.asarray(~np.asarray(input_mask),
+                             dtype=np.int64).sum(axis=-1)
+        max_len = int(lengths.max()) if lengths.size else quantum
     bucket = int(-(-max_len // quantum) * quantum)
-    return min(bucket, int(np.asarray(input_mask).shape[-1]))
+    return min(bucket, width)
 
 
 def parse_sequence(sequence: np.ndarray, dims: ModelDims) -> np.ndarray:

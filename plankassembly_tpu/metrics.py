@@ -63,6 +63,20 @@ def batch_scores(pred_samples, gt_samples, end: int = 512, dof: int = 6,
                                  threshold=threshold)
 
 
+@partial(jax.jit, static_argnames=("end", "dof", "threshold"))
+def metric_sums(pred_samples, gt_samples, valid, end: int = 512, dof: int = 6,
+                threshold: float = 0.5):
+    """(sum_prec, sum_rec, sum_f1, count) over valid rows, as replicated
+    scalars — the multi-host-safe form of `batch_scores` + masking: scalar
+    reductions over batch-sharded inputs come back fully replicated, so
+    every process can read them without a host gather (the torchmetrics
+    `dist_reduce_fx="sum"` analog, `plankassembly/metric.py:13-16`)."""
+    prec, rec, f1 = batch_scores(pred_samples, gt_samples, end=end, dof=dof,
+                                 threshold=threshold)
+    v = valid.astype(jnp.float32)
+    return ((prec * v).sum(), (rec * v).sum(), (f1 * v).sum(), v.sum())
+
+
 class Criterion:
     """Macro-averaged running precision/recall/F1
     (`plankassembly/metric.py:6-30`). Accumulates on host floats; updates

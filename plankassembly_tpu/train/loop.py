@@ -30,8 +30,9 @@ from plankassembly_tpu.config import Config
 from plankassembly_tpu.data import LineDataset, SidefaceDataset
 from plankassembly_tpu.data.loader import DataLoader, pad_batch_to, parse_splits_list
 from plankassembly_tpu.decode import greedy_decode, parse_sequence, pick_kv_bucket
-from plankassembly_tpu.metrics import batch_scores, build_criterion
+from plankassembly_tpu.metrics import batch_scores, build_criterion, metric_sums
 from plankassembly_tpu.models.model import ModelDims, init_params
+from plankassembly_tpu.parallel import multihost
 from plankassembly_tpu.parallel.mesh import (
     batch_sharding, make_mesh, shard_params,
 )
@@ -41,14 +42,21 @@ from plankassembly_tpu.train.state import (
 
 
 class MetricsLogger:
-    """JSONL + stdout logger (stands in for the TensorBoard logger)."""
+    """JSONL + stdout logger (stands in for the TensorBoard logger).
+    Rank-0 only in multi-host runs (Lightning rank-zero-only IO analog)."""
 
     def __init__(self, log_dir: str):
-        os.makedirs(log_dir, exist_ok=True)
+        self.enabled = multihost.is_main()
         self.path = os.path.join(log_dir, "metrics.jsonl")
+        if not self.enabled:
+            self._f = None
+            return
+        os.makedirs(log_dir, exist_ok=True)
         self._f = open(self.path, "a")
 
     def log(self, step: int, payload: dict):
+        if not self.enabled:
+            return
         rec = {"step": step, "time": time.time(), **payload}
         self._f.write(json.dumps(rec) + "\n")
         self._f.flush()
@@ -109,6 +117,8 @@ class Trainer:
     def _save_hyperparameters(self):
         """Persist the full config into the run dir (the reference's
         Lightning `save_hyperparameters`, `trainer_complete.py:24`)."""
+        if not multihost.is_main():
+            return
         import yaml
         with open(os.path.join(self.log_dir, "hparams.yaml"), "w") as f:
             yaml.safe_dump(dataclasses.asdict(self.cfg), f,
@@ -161,13 +171,17 @@ class Trainer:
         ds = self._dataset(self.cfg.DATASETS_VALID, False)
         return DataLoader(ds, batch_size=self.global_batch,
                           order=self._eval_order(ds),
-                          num_workers=self.cfg.NUM_WORKERS)
+                          num_workers=self.cfg.NUM_WORKERS,
+                          sharding=batch_sharding(self.mesh),
+                          pad_to_batch=True)
 
     def test_dataloader(self) -> DataLoader:
         ds = self._dataset(self.cfg.DATASETS_TEST, False)
         return DataLoader(ds, batch_size=self.global_batch,
                           order=self._eval_order(ds),
-                          num_workers=self.cfg.NUM_WORKERS)
+                          num_workers=self.cfg.NUM_WORKERS,
+                          sharding=batch_sharding(self.mesh),
+                          pad_to_batch=True)
 
     # ------------------------------------------------------------------
     # fit
@@ -238,7 +252,7 @@ class Trainer:
     # ------------------------------------------------------------------
     def _decode_batch(self, state: TrainState, batch: dict):
         arrays = {k: jnp.asarray(v) for k, v in batch.items()
-                  if hasattr(v, "shape")}
+                  if hasattr(v, "shape") and not k.startswith("_")}
         inputs = {k: v for k, v in arrays.items() if k.startswith("input")}
         # coarse quantum: each distinct bucket compiles the decode graph
         # once (~minutes on this backend), so trade a little HBM traffic
@@ -254,36 +268,41 @@ class Trainer:
         criterion = build_criterion()
         with self.mesh:
             for batch in self.val_dataloader():
-                batch, valid = pad_batch_to(batch, self.global_batch)
                 arrays, out = self._decode_batch(state, batch)
-                prec, rec, f1 = batch_scores(
+                p, r, f, n = metric_sums(
                     out["samples"], arrays["output_value"],
+                    arrays["sample_valid"],
                     end=self.cfg.TOKEN.END, dof=self.dims.num_output_dof,
                     threshold=self.cfg.THRESHOLD)
-                criterion.update_batch(prec, rec, f1, valid_mask=valid)
+                criterion.update(float(p), float(r), float(f),
+                                 count=int(float(n)))
         return criterion.compute()
 
     def test(self, state: TrainState) -> tuple[float, float, float]:
         """Decode the test split and dump bit-compatible prediction JSONs
-        (`trainer_complete.py:91-118`)."""
+        (`trainer_complete.py:91-118`). Multi-host: every process writes the
+        JSONs for its own batch rows; the criterion totals are summed across
+        processes (torchmetrics sync analog)."""
         pred_dir = os.path.join(self.log_dir, "pred_jsons")
         os.makedirs(pred_dir, exist_ok=True)
         criterion = build_criterion()
 
         with self.mesh:
             for batch in self.test_dataloader():
-                padded, valid = pad_batch_to(batch, self.global_batch)
-                arrays, out = self._decode_batch(state, padded)
-                samples = np.asarray(out["samples"])
-                attach = np.asarray(out["attach"])
-                gts = np.asarray(arrays["output_value"])
+                arrays, out = self._decode_batch(state, batch)
+                lo, hi = batch["_rows"]
+                samples = multihost.local_rows(out["samples"], lo, hi)
+                attach = multihost.local_rows(out["attach"], lo, hi)
+                gts = multihost.local_rows(arrays["output_value"], lo, hi)
                 if "input_mask" in arrays:
-                    in_masks = np.asarray(arrays["input_mask"])
+                    in_masks = multihost.local_rows(arrays["input_mask"],
+                                                    lo, hi)
                 else:  # raster modality has no token mask
                     in_masks = np.zeros((len(samples), 1), bool)
+                local_valid = batch["_local_valid"]
 
                 for i, name in enumerate(batch["name"]):
-                    if not valid[i]:
+                    if not local_valid[i]:
                         continue
                     scores = self._write_prediction(
                         pred_dir, name, samples[i], attach[i], gts[i],
@@ -291,9 +310,16 @@ class Trainer:
                     if scores is not None:
                         criterion.update(*scores)
 
+        totals = multihost.host_allsum([criterion.precision, criterion.recall,
+                                        criterion.fmeasure, criterion.total])
+        criterion.precision, criterion.recall, criterion.fmeasure = (
+            float(totals[0]), float(totals[1]), float(totals[2]))
+        criterion.total = int(totals[3])
         prec, rec, f1 = criterion.compute()
-        self.logger.log(int(state.step), {
-            "test/precision": prec, "test/recall": rec, "test/fmeasure": f1})
+        if multihost.is_main():
+            self.logger.log(int(state.step), {
+                "test/precision": prec, "test/recall": rec,
+                "test/fmeasure": f1})
         return prec, rec, f1
 
     def _write_prediction(self, pred_dir, name, sample, attach, gt, in_mask):
@@ -338,8 +364,9 @@ class Trainer:
                               "step": state.step}, force=True)
         meta = {"epoch": epoch, "step": int(state.step),
                 "metrics": metrics or {}}
-        with open(path + ".meta.json", "w") as f:
-            json.dump(meta, f)
+        if multihost.is_main():
+            with open(path + ".meta.json", "w") as f:
+                json.dump(meta, f)
 
     def load_checkpoint(self, path: str) -> TrainState:
         import orbax.checkpoint as ocp

@@ -103,3 +103,46 @@ def test_kv_quant_decode_close(params, inputs):
                           kv_quant=True)
     a, b = np.asarray(base["samples"]), np.asarray(quant["samples"])
     assert (a == b).mean() > 0.9, (a == b).mean()
+
+
+def test_cross_kernel_matches_xla(params, inputs):
+    """Pallas fused cross-attention (interpret mode) == einsum path."""
+    xla = greedy_decode(params, inputs, DIMS, compute_dtype=jnp.float32,
+                        cross_impl="xla")
+    ker = greedy_decode(params, inputs, DIMS, compute_dtype=jnp.float32,
+                        cross_impl="kernel-interpret")
+    np.testing.assert_array_equal(np.asarray(xla["samples"]),
+                                  np.asarray(ker["samples"]))
+    np.testing.assert_array_equal(np.asarray(xla["attach"]),
+                                  np.asarray(ker["attach"]))
+
+
+def test_cross_kernel_int8_close(params, inputs):
+    """Kernel int8 path matches the XLA int8 path's tokens on a tiny model."""
+    xla = greedy_decode(params, inputs, DIMS, compute_dtype=jnp.float32,
+                        kv_quant=True, cross_impl="xla")
+    ker = greedy_decode(params, inputs, DIMS, compute_dtype=jnp.float32,
+                        kv_quant=True, cross_impl="kernel-interpret")
+    a, b = np.asarray(xla["samples"]), np.asarray(ker["samples"])
+    assert (a == b).mean() > 0.95, (a != b).mean()
+
+
+def test_cross_mxu_matches_xla(params, inputs):
+    """Block-diagonal-query MXU path == einsum path (tokens + attach)."""
+    xla = greedy_decode(params, inputs, DIMS, compute_dtype=jnp.float32,
+                        cross_impl="xla")
+    mxu = greedy_decode(params, inputs, DIMS, compute_dtype=jnp.float32,
+                        cross_impl="mxu")
+    np.testing.assert_array_equal(np.asarray(xla["samples"]),
+                                  np.asarray(mxu["samples"]))
+    np.testing.assert_array_equal(np.asarray(xla["attach"]),
+                                  np.asarray(mxu["attach"]))
+
+
+def test_cross_mxu_int8_close(params, inputs):
+    xla = greedy_decode(params, inputs, DIMS, compute_dtype=jnp.float32,
+                        kv_quant=True, cross_impl="xla")
+    mxu = greedy_decode(params, inputs, DIMS, compute_dtype=jnp.float32,
+                        kv_quant=True, cross_impl="mxu")
+    a, b = np.asarray(xla["samples"]), np.asarray(mxu["samples"])
+    assert (a == b).mean() > 0.95, (a != b).mean()
