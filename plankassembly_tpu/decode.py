@@ -209,9 +209,26 @@ def decode_from_memory(params, memory, memory_mask, dims: ModelDims,
     struct = jnp.asarray(pointer_structure_mask(dims))  # (S, S) {0,1}
     scale = 1.0 / math.sqrt(Dh)
 
-    k_cache0 = jnp.zeros((L, B, S, H, Dh), cd)
-    v_cache0 = jnp.zeros((L, B, S, H, Dh), cd)
-    h_cache0 = jnp.zeros((B, S, D), jnp.float32)
+    # (self-attention keeps the per-head einsum form: with only S=128 keys
+    # it is already near its traffic floor, and a measured block-diagonal
+    # variant was slower — tools/bench_decode_variants.py)
+    self_quant = kv_quant and use_mxu
+    if self_quant:
+        # int8 self-KV with one scale per appended token (finer than the
+        # cross-KV per-row scales). Scales fold OUTSIDE the dots: the K
+        # scale varies over the score's key axis (multiply scores), the V
+        # scale folds into the attention weights — so the int8 cache is the
+        # only self-attention HBM traffic.
+        k_cache0 = jnp.zeros((L, B, S, H, Dh), jnp.int8)
+        v_cache0 = jnp.zeros((L, B, S, H, Dh), jnp.int8)
+        ks_cache0 = jnp.zeros((L, B, S, H), jnp.float32)
+        vs_cache0 = jnp.zeros((L, B, S, H), jnp.float32)
+    else:
+        k_cache0 = jnp.zeros((L, B, S, H, Dh), cd)
+        v_cache0 = jnp.zeros((L, B, S, H, Dh), cd)
+        ks_cache0 = vs_cache0 = jnp.zeros((), jnp.float32)
+    h_cache0 = jnp.zeros((B, S, D),
+                         cd if use_mxu else jnp.float32)
     output0 = jnp.zeros((B, S), jnp.int32)
     attach0 = jnp.full((B, S), -1, jnp.int32)
     done0 = jnp.zeros((B,), bool)
@@ -219,7 +236,8 @@ def decode_from_memory(params, memory, memory_mask, dims: ModelDims,
     emb = params["embed"]
 
     def step(carry):
-        t, output, attach, done, k_cache, v_cache, h_cache = carry
+        (t, output, attach, done, k_cache, v_cache, ks_cache, vs_cache,
+         h_cache) = carry
 
         # --- embed decoder input at position t (`models.py:114-138`) ---
         prev = output[:, jnp.maximum(t - 1, 0)]
@@ -236,19 +254,48 @@ def decode_from_memory(params, memory, memory_mask, dims: ModelDims,
             h = layer_norm(n1_l[l], x)
             qkv = h.astype(cd) @ wqkv_l[l] + bqkv_l[l]
             qkv = qkv.reshape(B, 3, H, Dh)
-            q, k_t, v_t = qkv[:, 0][:, None], qkv[:, 1][:, None], qkv[:, 2][:, None]
-            k_cache = jax.lax.dynamic_update_slice(
-                k_cache, k_t[None], (l, 0, t, 0, 0))
-            v_cache = jax.lax.dynamic_update_slice(
-                v_cache, v_t[None], (l, 0, t, 0, 0))
-            scores = jnp.einsum("bqhd,bkhd->bhqk", q, k_cache[l],
-                                preferred_element_type=jnp.float32) * scale
-            w = jax.nn.softmax(scores + self_bias, axis=-1)
-            a = jnp.einsum("bhqk,bkhd->bqhd", w.astype(cd), v_cache[l],
-                           preferred_element_type=jnp.float32)
+            q, k_t, v_t = (qkv[:, 0][:, None], qkv[:, 1][:, None],
+                           qkv[:, 2][:, None])
+            if self_quant:
+                def _q_token(x):  # (B,1,H,Dh) -> int8, (B,1,H) f32
+                    xf = x.astype(jnp.float32)
+                    s = jnp.maximum(
+                        jnp.max(jnp.abs(xf), axis=-1) / 127.0, 1e-8)
+                    return (jnp.round(xf / s[..., None]).astype(jnp.int8), s)
+                k_i8, k_s = _q_token(k_t)
+                v_i8, v_s = _q_token(v_t)
+                k_cache = jax.lax.dynamic_update_slice(
+                    k_cache, k_i8[None], (l, 0, t, 0, 0))
+                v_cache = jax.lax.dynamic_update_slice(
+                    v_cache, v_i8[None], (l, 0, t, 0, 0))
+                ks_cache = jax.lax.dynamic_update_slice(
+                    ks_cache, k_s[None], (l, 0, t, 0))
+                vs_cache = jax.lax.dynamic_update_slice(
+                    vs_cache, v_s[None], (l, 0, t, 0))
+                scores = jnp.einsum(
+                    "bqhd,bkhd->bhqk", q, k_cache[l].astype(cd),
+                    preferred_element_type=jnp.float32) * scale
+                # per-token K scale varies over the key axis -> fold into
+                # scores; V scale folds into the attention weights
+                scores = scores * ks_cache[l].transpose(0, 2, 1)[:, :, None, :]
+                w = jax.nn.softmax(scores + self_bias, axis=-1)
+                w = w * vs_cache[l].transpose(0, 2, 1)[:, :, None, :]
+                a = jnp.einsum("bhqk,bkhd->bqhd", w.astype(cd),
+                               v_cache[l].astype(cd),
+                               preferred_element_type=jnp.float32)
+            else:
+                k_cache = jax.lax.dynamic_update_slice(
+                    k_cache, k_t[None], (l, 0, t, 0, 0))
+                v_cache = jax.lax.dynamic_update_slice(
+                    v_cache, v_t[None], (l, 0, t, 0, 0))
+                scores = jnp.einsum("bqhd,bkhd->bhqk", q, k_cache[l],
+                                    preferred_element_type=jnp.float32) * scale
+                w = jax.nn.softmax(scores + self_bias, axis=-1)
+                a = jnp.einsum("bhqk,bkhd->bqhd", w.astype(cd), v_cache[l],
+                               preferred_element_type=jnp.float32)
+            a = a.reshape(B, 1, D)
             sa = sa_l[l]
-            a = a.reshape(B, 1, D).astype(cd) @ sa["wo"].astype(cd) \
-                + sa["bo"].astype(cd)
+            a = a.astype(cd) @ sa["wo"].astype(cd) + sa["bo"].astype(cd)
             x = x + a.astype(x.dtype)
 
             # cross-attention against precomputed K/V
@@ -307,7 +354,8 @@ def decode_from_memory(params, memory, memory_mask, dims: ModelDims,
             x = x + z.astype(x.dtype)
 
         h_t = layer_norm(dec["final_norm"], x)[:, 0].astype(jnp.float32)
-        h_cache = jax.lax.dynamic_update_slice(h_cache, h_t[:, None], (0, t, 0))
+        h_cache = jax.lax.dynamic_update_slice(
+            h_cache, h_t[:, None].astype(h_cache.dtype), (0, t, 0))
 
         # --- mixed vocab ‖ pointer distribution (`models.py:168-186`) ---
         vocab_logits = h_t @ heads["vocab"]["w"] + heads["vocab"]["b"]
@@ -341,7 +389,8 @@ def decode_from_memory(params, memory, memory_mask, dims: ModelDims,
         output = output.at[:, t].set(token)
         attach = attach.at[:, t].set(attach_t)
         done = done | (token == dims.end)
-        return (t + 1, output, attach, done, k_cache, v_cache, h_cache)
+        return (t + 1, output, attach, done, k_cache, v_cache,
+                ks_cache, vs_cache, h_cache)
 
     def cond(carry):
         t, _, _, done, *_ = carry
@@ -350,7 +399,7 @@ def decode_from_memory(params, memory, memory_mask, dims: ModelDims,
         return (t < S) & ~jnp.all(done)
 
     init = (jnp.array(0, jnp.int32), output0, attach0, done0,
-            k_cache0, v_cache0, h_cache0)
+            k_cache0, v_cache0, ks_cache0, vs_cache0, h_cache0)
     t, output, attach, done, *_ = jax.lax.while_loop(cond, step, init)
 
     return {"samples": output, "attach": attach, "num_steps": t}

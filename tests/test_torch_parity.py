@@ -191,3 +191,107 @@ def test_decoder_and_loss_parity(setup):
     my_loss, _ = train_step_loss(params, batch, DIMS, deterministic=True,
                                  compute_dtype=jnp.float32)
     np.testing.assert_allclose(float(my_loss), float(ref_loss), atol=3e-5)
+
+
+def torch_embed_output(params, output):
+    """Reference `_embed_output` (`models.py:114-138`): value+coord+pos
+    embeddings of the prefix, with a zero-vector BOS row prepended."""
+    emb = params["embed"]
+    B, n = output.shape
+    value = t(np.asarray(params["embed"]["value"]))[output]
+    coords = torch.remainder(torch.arange(n), 6)
+    pos = torch.div(torch.arange(n), 6, rounding_mode="floor")
+    x = (value + t(np.asarray(emb["coord_out"]))[coords].unsqueeze(0)
+         + t(np.asarray(emb["pos_out"]))[pos].unsqueeze(0))
+    zero = torch.zeros((B, 1, D))
+    return torch.cat((zero, x), dim=1)
+
+
+def torch_pointer_mask(sz):
+    """Reference `_generate_pointer_mask` (`models.py:91-101`)."""
+    switch = [3, 4, 5, 0, 1, 2]
+    p2p = torch.eye(6)[switch]
+    n = (sz + 5) // 6 + 1
+    mask = p2p.repeat(n, n)
+    mask[:, :6] = torch.eye(6).repeat(n, 1)[: mask.shape[0]]
+    mask[:6, :] = 0
+    return mask[:sz, :sz]
+
+
+def torch_eval_step(params, batch_np, dims):
+    """Faithful torch reimplementation of the reference greedy eval loop
+    (`models.py:267-323`): full-prefix decoder re-run each step, eval-branch
+    `_create_dist` (softmax, sz<6 vocab-only, -inf triu fill, eps structural
+    fill), `_sample` pointer-copy, global all-END early exit."""
+    enc = build_torch_encoder(params)
+    dec = build_torch_decoder(params)
+    hp = params["heads"]
+    eps = 1e-6
+
+    in_mask = torch.from_numpy(batch_np["input_mask"])
+    memory = enc(torch_embed_input(params, batch_np),
+                 src_key_padding_mask=in_mask)
+    B = memory.shape[0]
+    output = torch.empty((B, 0), dtype=torch.long)
+    attach = torch.empty((B, 0), dtype=torch.long)
+
+    for _ in range(dims.max_output_length):
+        x = torch_embed_output(params, output)
+        sz = output.shape[1] + 1
+        tgt_mask = torch.triu(torch.full((sz, sz), float("-inf")), diagonal=1)
+        h = dec(x, memory, tgt_mask=tgt_mask,
+                memory_key_padding_mask=in_mask)
+
+        vocab_logits = h @ t(hp["vocab"]["w"]) + t(hp["vocab"]["b"])
+        vocab_dists = F.softmax(vocab_logits, dim=-1)
+        if sz < 6:
+            dists = vocab_dists
+        else:
+            feature = h @ t(hp["pointer"]["w"]) + t(hp["pointer"]["b"])
+            plogits = torch.bmm(feature, h.transpose(1, 2)) / D
+            prob = torch.sigmoid(h @ t(hp["switch"]["w"]) + t(hp["switch"]["b"]))
+            triu = torch.triu(torch.ones(sz, sz)) == 1
+            plogits = plogits.masked_fill(triu.unsqueeze(0), float("-inf"))
+            pdists = F.softmax(plogits, dim=-1)
+            vocab_dists = vocab_dists * (1 - prob)
+            pdists = pdists * prob
+            pmask = torch_pointer_mask(sz) == 0
+            pdists = pdists.masked_fill(pmask.unsqueeze(0), eps)
+            dists = torch.cat((vocab_dists, pdists), dim=-1)
+
+        tokens = torch.argmax(dists[:, -1], -1, keepdim=True)
+        pointers = torch.full_like(tokens, -1)
+        is_ptr = tokens.flatten() >= DIMS.vocab_size
+        if is_ptr.any():
+            tok = tokens.flatten().clone()
+            ptr = pointers.flatten().clone()
+            bidx = torch.arange(B)
+            ptr[is_ptr] = tok[is_ptr] - DIMS.vocab_size
+            tok[is_ptr] = output[bidx[is_ptr], tok[is_ptr] - DIMS.vocab_size]
+            tokens, pointers = tok.unsqueeze(1), ptr.unsqueeze(1)
+        output = torch.cat((output, tokens), dim=1)
+        attach = torch.cat((attach, pointers), dim=1)
+        if torch.all(torch.any(output == CFG.TOKEN.END, dim=1)):
+            break
+    return output.numpy(), attach.numpy()
+
+
+def test_eval_step_token_parity(setup):
+    """Greedy decode token-for-token vs the torch reference loop — the
+    end-to-end inference-semantics anchor (VERDICT r1 #4b)."""
+    from plankassembly_tpu.decode import greedy_decode
+
+    params, batch_np, batch = setup
+    inputs = {k: v for k, v in batch.items() if k.startswith("input")}
+    with torch.no_grad():
+        ref_out, ref_att = torch_eval_step(params, batch_np, DIMS)
+
+    for impl in ("xla", "mxu"):
+        mine = greedy_decode(params, inputs, DIMS,
+                             compute_dtype=jnp.float32, cross_impl=impl)
+        steps = int(np.asarray(mine["num_steps"]))
+        assert steps == ref_out.shape[1], (steps, ref_out.shape[1])
+        np.testing.assert_array_equal(
+            np.asarray(mine["samples"])[:, :steps], ref_out)
+        np.testing.assert_array_equal(
+            np.asarray(mine["attach"])[:, :steps], ref_att)
