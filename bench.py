@@ -9,7 +9,9 @@ win, so the benchmark measures:
 
     value       = shape programs decoded / second / chip (flagship model,
                   d=512, 6+6 layers, realistic ~400-token inputs,
-                  full 128-step decode — no early exit)
+                  full 128-step decode — no early exit, B=256: the
+                  throughput-optimal batch after the MXU cross-attention
+                  rework amortizes the per-step weight reads)
     vs_baseline = speedup over the reference-faithful no-cache decode
                   algorithm on the SAME chip, same batch/weights/steps
                   (the baseline, like the reference, processes the full
@@ -55,7 +57,7 @@ def main():
             restored = ckptr.restore(os.path.abspath(ckpt))
         params = jax.tree.map(jnp.asarray, restored["params"])
 
-    batch_size = 128
+    batch_size = 256
     batch_np = _example_batch(cfg, batch_size)
     inputs = {k: jnp.asarray(v) for k, v in batch_np.items()
               if k.startswith("input")}

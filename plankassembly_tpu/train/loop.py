@@ -254,10 +254,12 @@ class Trainer:
         arrays = {k: jnp.asarray(v) for k, v in batch.items()
                   if hasattr(v, "shape") and not k.startswith("_")}
         inputs = {k: v for k, v in arrays.items() if k.startswith("input")}
-        # coarse quantum: each distinct bucket compiles the decode graph
-        # once (~minutes on this backend), so trade a little HBM traffic
-        # for at most ~2 compiled variants per run
-        bucket = pick_kv_bucket(inputs["input_mask"], quantum=512)
+        # each distinct bucket compiles the decode graph once (persistent
+        # compile cache); finer quanta cut cross-attention HBM reads on
+        # short length-sorted batches (re-measured in round 2 — see
+        # CLAUDE.md perf ledger)
+        bucket = pick_kv_bucket(inputs["input_mask"],
+                                quantum=self.cfg.trainer.kv_quantum)
         out = greedy_decode(state.params, inputs, self.dims,
                             compute_dtype=self.compute_dtype,
                             kv_bucket=bucket,
