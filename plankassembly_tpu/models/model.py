@@ -275,7 +275,8 @@ def _take_layer(stacked, i):
 
 
 def encode(params, inputs: dict, dims: ModelDims, *, rng=None,
-           deterministic=True, compute_dtype=jnp.bfloat16, flash=False):
+           deterministic=True, compute_dtype=jnp.bfloat16, flash=False,
+           seq_shard=None):
     """Embed the 5 input streams and run the pre-norm encoder stack.
 
     inputs: dict with input_value/pos/coord/view[/type] (B, Li) int32 and
@@ -290,14 +291,23 @@ def encode(params, inputs: dict, dims: ModelDims, *, rng=None,
         x = x + emb["type"][inputs["input_type"]]
     return run_encoder_stack(params, x, inputs["input_mask"], dims, rng=rng,
                              deterministic=deterministic,
-                             compute_dtype=compute_dtype, flash=flash)
+                             compute_dtype=compute_dtype, flash=flash,
+                             seq_shard=seq_shard)
 
 
 def run_encoder_stack(params, x, input_mask, dims: ModelDims, *, rng=None,
                       deterministic=True, compute_dtype=jnp.bfloat16,
-                      flash=False):
+                      flash=False, seq_shard=None):
     """Pre-norm encoder over already-embedded tokens x (B, L, D); shared by
-    the token encoder and the raster/ViT encoder (`models/vit.py`)."""
+    the token encoder and the raster/ViT encoder (`models/vit.py`).
+
+    `seq_shard`: optional `NamedSharding` (e.g. P('data', 'seq', None)) for
+    the (B, L, D) activations — sequence parallelism for the ≤1199-token
+    encoder (SURVEY §5.7). Residuals, layernorms, and FFNs then run with the
+    length axis split across the 'seq' mesh axis; XLA all-gathers K/V for the
+    dense attention (the blockwise kernels keep a ring variant open later).
+    The reference has no long-context story (`models.py:206` is single-GPU
+    dense attention); this is the TPU-native extension point."""
     pad_bias = jnp.where(input_mask, NEG_INF, 0.0)[:, None, None, :]
     # pads are a suffix (data/packing.py), so a per-batch length is an exact
     # equivalent of the pad mask — lets the fused kernel skip mask arrays
@@ -305,6 +315,13 @@ def run_encoder_stack(params, x, input_mask, dims: ModelDims, *, rng=None,
 
     enc = params["encoder"]
     rng = rng if rng is not None else jax.random.PRNGKey(0)
+
+    def constrain(y):
+        if seq_shard is None:
+            return y
+        return jax.lax.with_sharding_constraint(y, seq_shard)
+
+    x = constrain(x)
 
     def body(x, layer_and_idx):
         lp, idx = layer_and_idx
@@ -314,11 +331,11 @@ def run_encoder_stack(params, x, input_mask, dims: ModelDims, *, rng=None,
         a = attention(lp["self_attn"], h, h, pad_bias, dims, dropout_key=k1,
                       deterministic=deterministic, compute_dtype=compute_dtype,
                       kv_lengths=kv_lengths, flash=flash)
-        x = x + _dropout(k2, a, dims.dropout, deterministic)
+        x = constrain(x + _dropout(k2, a, dims.dropout, deterministic))
         h = layer_norm(lp["norm2"], x)
         f = ffn(lp["ffn"], h, dims, dropout_key=k3,
                 deterministic=deterministic, compute_dtype=compute_dtype)
-        x = x + _dropout(k4, f, dims.dropout, deterministic)
+        x = constrain(x + _dropout(k4, f, dims.dropout, deterministic))
         return x, None
 
     stacked = {k: v for k, v in enc.items() if k != "final_norm"}

@@ -34,6 +34,20 @@ def make_mesh(num_data: int | None = None, num_model: int = 1,
     return Mesh(arr, ("data", "model"))
 
 
+def make_seq_mesh(num_data: int, num_seq: int, devices=None) -> Mesh:
+    """('data', 'seq') mesh for encoder sequence parallelism (SURVEY §5.7).
+
+    Params stay replicated (the model is 512-wide); activations shard their
+    length axis over 'seq' via the `seq_shard` hook in
+    `models.model.run_encoder_stack`."""
+    devices = devices if devices is not None else jax.devices()
+    count = num_data * num_seq
+    assert count <= len(devices), (
+        f"mesh needs {count} devices, have {len(devices)}")
+    arr = np.asarray(devices[:count]).reshape(num_data, num_seq)
+    return Mesh(arr, ("data", "seq"))
+
+
 def _attn_spec(tp: bool):
     """Specs for one stacked attention param dict (leading layer axis)."""
     if not tp:

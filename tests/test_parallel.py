@@ -90,6 +90,15 @@ def test_tp_shardings_split_expected_axes():
     assert shards[0].data.shape[-1] == full[-1] // 2
 
 
+def test_seq_parallel_encoder_matches_single_device():
+    """Sequence parallelism (SURVEY §5.7): encoder with its length axis
+    sharded over a ('data','seq') mesh must reproduce the single-device
+    memory exactly (the helper asserts allclose internally)."""
+    import __graft_entry__ as ge
+
+    ge._dryrun_seq_parallel(8, CFG)
+
+
 def test_dryrun_multichip_entry_from_default_env():
     """VERDICT r1 #1: the driver-facing dryrun must self-provision the
     virtual CPU mesh — run it exactly the way the driver does, in a clean
