@@ -41,8 +41,25 @@ from plankassembly_tpu.train.state import (
 )
 
 
+def _rss_mb() -> int:
+    """Host resident set size — logged every log step so host-memory
+    behavior over a long run is visible in the metrics stream (this
+    container's remote-TPU transfer path leaks ~the transferred bytes per
+    device_put; the loader ships int16 to halve it — CLAUDE.md)."""
+    try:
+        with open("/proc/self/status") as f:
+            for line in f:
+                if line.startswith("VmRSS"):
+                    return int(line.split()[1]) // 1024
+    except OSError:
+        pass
+    return -1
+
+
 class MetricsLogger:
-    """JSONL + stdout logger (stands in for the TensorBoard logger).
+    """JSONL + stdout + TensorBoard logger. The tfevents stream matches the
+    reference's Lightning TensorBoard logger surface
+    (`trainer_complete.py:69-70,87-89`); JSONL is the greppable primary.
     Rank-0 only in multi-host runs (Lightning rank-zero-only IO analog)."""
 
     def __init__(self, log_dir: str):
@@ -50,9 +67,12 @@ class MetricsLogger:
         self.path = os.path.join(log_dir, "metrics.jsonl")
         if not self.enabled:
             self._f = None
+            self._tb = None
             return
         os.makedirs(log_dir, exist_ok=True)
         self._f = open(self.path, "a")
+        from plankassembly_tpu.utils.tb_writer import TensorBoardWriter
+        self._tb = TensorBoardWriter(log_dir)
 
     def log(self, step: int, payload: dict):
         if not self.enabled:
@@ -60,6 +80,11 @@ class MetricsLogger:
         rec = {"step": step, "time": time.time(), **payload}
         self._f.write(json.dumps(rec) + "\n")
         self._f.flush()
+        for key, value in payload.items():
+            if isinstance(value, (int, float)) and key != "epoch":
+                self._tb.add_scalar(key, float(value), step,
+                                    wall_time=rec["time"])
+        self._tb.flush()
         pretty = " ".join(f"{k}={v:.4f}" if isinstance(v, float) else f"{k}={v}"
                           for k, v in payload.items())
         print(f"[step {step}] {pretty}", flush=True)
@@ -227,6 +252,7 @@ class Trainer:
                         if timer.steps_per_sec:
                             payload["train/steps_per_sec"] = round(
                                 timer.steps_per_sec, 3)
+                        payload["host_rss_mb"] = _rss_mb()
                         self.logger.log(step, payload)
 
                 if (epoch + 1) % cfg.trainer.check_val_every_n_epoch == 0:
