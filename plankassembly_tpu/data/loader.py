@@ -132,6 +132,25 @@ class DataLoader:
             batch["_rows"] = (lo, local_hi)
             yield batch
 
+    # Token streams whose values are bounded by the vocab contract
+    # (VOCAB_SIZE + MAX_OUTPUT_LENGTH = 642 < 2^15): ship them as int16.
+    # Host->device bytes are the loader's cost model on this container —
+    # the remote-TPU transfer path leaks its staging buffer (~1x the
+    # device bytes per put, see CLAUDE.md), and halving the transfer also
+    # halves PCIe/tunnel time on any host. On device int16 gathers/compares
+    # are free.
+    _INT16_KEYS = frozenset((
+        "input_value", "input_pos", "input_coord", "input_view", "input_type",
+        "output_value", "output_label",
+    ))
+
+    def _narrow(self, key: str, value: np.ndarray) -> np.ndarray:
+        if key in self._INT16_KEYS and value.dtype in (np.int64, np.int32):
+            return value.astype(np.int16)
+        if value.dtype == np.int64:  # x64 is disabled; don't ship dead bytes
+            return value.astype(np.int32)
+        return value
+
     def _put(self, batch: dict) -> dict:
         if self.sharding is None:
             return batch
@@ -141,6 +160,7 @@ class DataLoader:
         out = {}
         for key, value in batch.items():
             if isinstance(value, np.ndarray) and not key.startswith("_"):
+                value = self._narrow(key, value)
                 if multiproc:
                     out[key] = make_global(self.sharding, value,
                                            self.batch_size)

@@ -61,6 +61,18 @@ def patchify(images: jnp.ndarray, patch: int) -> jnp.ndarray:
     return x.reshape(B, V * n * n, patch * patch)
 
 
+def batch_images(batch: dict, vit: VitDims):
+    """Resolve the raster input: a host-drawn `input_image`, or packed
+    segment arrays rasterized ON DEVICE (`data.raster.rasterize_device`) —
+    the TPU-native path: the host ships KBs of endpoints, the MXU draws."""
+    if "input_image" in batch:
+        return batch["input_image"]
+    from plankassembly_tpu.data.raster import rasterize_device
+    return rasterize_device(batch["input_lines"],
+                            batch["input_line_view"],
+                            batch["input_line_inten"], vit.image_size)
+
+
 def encode_raster(params, images, dims: ModelDims, vit: VitDims, *, rng=None,
                   deterministic=True, compute_dtype=jnp.bfloat16,
                   flash=False):
@@ -89,7 +101,7 @@ def train_step_loss_raster(params, batch, dims: ModelDims, vit: VitDims, *,
     rng = rng if rng is not None else jax.random.PRNGKey(0)
     enc_rng, dec_rng = jax.random.split(rng)
 
-    memory = encode_raster(params, batch["input_image"], dims, vit,
+    memory = encode_raster(params, batch_images(batch, vit), dims, vit,
                            rng=enc_rng, deterministic=deterministic,
                            compute_dtype=compute_dtype, flash=flash)
 
@@ -126,7 +138,7 @@ def greedy_decode_raster(params, batch, dims: ModelDims, vit: VitDims,
     """KV-cached decode for the raster modality (shared decode loop)."""
     from plankassembly_tpu.decode import decode_from_memory
 
-    memory = encode_raster(params, batch["input_image"], dims, vit,
+    memory = encode_raster(params, batch_images(batch, vit), dims, vit,
                            deterministic=True, compute_dtype=compute_dtype,
                            flash=True)
     no_pad = jnp.zeros(memory.shape[:2], bool)

@@ -58,8 +58,10 @@ class RasterTrainer(Trainer):
     def _decode_batch(self, state, batch):
         arrays = {k: jnp.asarray(v) for k, v in batch.items()
                   if hasattr(v, "shape")}
-        out = greedy_decode_raster(state.params,
-                                   {"input_image": arrays["input_image"]},
+        raster_in = {k: v for k, v in arrays.items()
+                     if k in ("input_image", "input_lines",
+                              "input_line_view", "input_line_inten")}
+        out = greedy_decode_raster(state.params, raster_in,
                                    self.dims, self.vit,
                                    compute_dtype=self.compute_dtype)
         return arrays, out

@@ -123,8 +123,10 @@ def test_raster_trainer_e2e(tmp_path):
         DATASETS_VALID=str(tmp_path / "split.txt"),
         DATASETS_TEST=str(tmp_path / "split.txt"),
         BATCH_SIZE=2,
-        DATA=dataclasses.replace(cfg.DATA, MAX_OUTPUT_LENGTH=48,
-                                 AUG_RATIO=0.0),
+        # raster inputs don't consume the token budget, but the packed-
+        # segment budget is MAX_INPUT_LENGTH // 4 — give it headroom
+        DATA=dataclasses.replace(cfg.DATA, MAX_INPUT_LENGTH=256,
+                                 MAX_OUTPUT_LENGTH=48, AUG_RATIO=0.0),
         trainer=dataclasses.replace(cfg.trainer, devices=1, max_epochs=1,
                                     check_val_every_n_epoch=1,
                                     default_root_dir=str(tmp_path / "logs")))
@@ -135,3 +137,85 @@ def test_raster_trainer_e2e(tmp_path):
     trainer.test(state)
     preds = os.listdir(os.path.join(trainer.log_dir, "pred_jsons"))
     assert len(preds) == 2
+
+
+def test_device_rasterizer_matches_host_exactly():
+    """`rasterize_device` (MXU outer-product formulation) must reproduce the
+    host splatter pixel-for-pixel on axis-aligned segments — including
+    out-of-extent clipping and the 0.5 hidden / 1.0 visible max rule."""
+    from plankassembly_tpu.data.raster import rasterize_device
+
+    rng = np.random.default_rng(3)
+    B, N, S = 2, 24, 64
+    lines = np.zeros((B, N, 4), np.float32)
+    views = rng.integers(0, 3, (B, N)).astype(np.int32)
+    intens = rng.choice([0.0, 0.5, 1.0], (B, N)).astype(np.float32)
+    for b in range(B):
+        for n in range(N):
+            x0, y0 = rng.uniform(-1.15, 1.15, 2)
+            if rng.random() < 0.5:
+                lines[b, n] = [x0, y0, rng.uniform(-1.15, 1.15), y0]
+            else:
+                lines[b, n] = [x0, y0, x0, rng.uniform(-1.15, 1.15)]
+
+    dev = np.asarray(rasterize_device(jnp.asarray(lines), jnp.asarray(views),
+                                      jnp.asarray(intens), S))
+    assert dev.shape == (B, 3, S, S)
+    for b in range(B):
+        keep = intens[b] > 0
+        ref = rasterize_views([lines[b, n].reshape(2, 2)
+                               for n in range(N) if keep[n]],
+                              views[b, keep],
+                              [0 if intens[b, n] == 1.0 else 1
+                               for n in range(N) if keep[n]],
+                              image_size=S)
+        np.testing.assert_array_equal(dev[b], ref)
+
+
+def test_pack_lines_roundtrip_device_raster():
+    """RasterDataset device mode: packed segments -> device image equals the
+    host-mode image for the same sample."""
+    from plankassembly_tpu.data.raster import (
+        pack_lines, rasterize_device, rasterize_views,
+    )
+
+    ls = [np.array([[-0.5, -0.5], [0.5, -0.5]]),
+          np.array([[0.25, -1.0], [0.25, 1.0]])]
+    views, types = [0, 2], [0, 1]
+    packed = pack_lines(ls, views, types, max_lines=8)
+    assert packed["input_lines"].shape == (8, 4)
+    dev = np.asarray(rasterize_device(
+        jnp.asarray(packed["input_lines"][None]),
+        jnp.asarray(packed["input_line_view"][None]),
+        jnp.asarray(packed["input_line_inten"][None]), 64))[0]
+    ref = rasterize_views(ls, views, types, image_size=64)
+    np.testing.assert_array_equal(dev, ref)
+
+
+def test_raster_loss_grads_through_device_rasterizer(setup):
+    """The train loss accepts packed-segment batches; gradients flow to the
+    patch embedding (the rasterized image itself is non-differentiable input,
+    like pixels from disk)."""
+    params, batch = setup
+    rng = np.random.default_rng(5)
+    lines = np.zeros((2, 8, 4), np.float32)
+    for b in range(2):
+        for n in range(8):
+            x0, y0 = rng.uniform(-1, 1, 2)
+            lines[b, n] = [x0, y0, rng.uniform(-1, 1), y0]
+    seg_batch = {
+        "input_lines": jnp.asarray(lines),
+        "input_line_view": jnp.asarray(rng.integers(0, 3, (2, 8)), jnp.int32),
+        "input_line_inten": jnp.ones((2, 8), jnp.float32),
+        "output_value": batch["output_value"],
+        "output_label": batch["output_label"],
+        "output_mask": batch["output_mask"],
+    }
+    loss, _ = train_step_loss_raster(params, seg_batch, DIMS, VIT,
+                                     deterministic=True,
+                                     compute_dtype=jnp.float32)
+    assert np.isfinite(float(loss))
+    g = jax.grad(lambda p: train_step_loss_raster(
+        p, seg_batch, DIMS, VIT, deterministic=True,
+        compute_dtype=jnp.float32)[0])(params)
+    assert float(jnp.linalg.norm(g["embed"]["patch"])) > 0

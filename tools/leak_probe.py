@@ -41,6 +41,7 @@ def main():
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--image-size", type=int, default=256)
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--data-root", default="/root/data")
     args = ap.parse_args()
 
     import numpy as np
@@ -50,8 +51,8 @@ def main():
     from plankassembly_tpu.data.raster import RasterDataset
 
     cfg = Config()
-    root = "/root/data/data/complete/infos"
-    names = parse_splits_list("/root/data/splits/train.txt")
+    root = os.path.join(args.data_root, "data/complete/infos")
+    names = parse_splits_list(os.path.join(args.data_root, "splits/train.txt"))
     ds = RasterDataset(root, names, cfg, augmentation=True,
                        image_size=args.image_size)
 
