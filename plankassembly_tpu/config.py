@@ -117,6 +117,10 @@ class TrainerConfig:
     # decode graph (cached persistently). Finer quanta cut cross-attention
     # HBM reads on short length-sorted batches.
     kv_quantum: int = 128
+    # Packed-sample cache (data/cache.py): pack each sample once into
+    # memmaps under <default_root_dir>/.sample_cache; later epochs and
+    # val/test reruns skip JSON+packing (aug samples always pack fresh).
+    sample_cache: bool = False
 
 
 @dataclass(frozen=True)

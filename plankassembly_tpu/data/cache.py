@@ -1,0 +1,128 @@
+"""Packed-sample cache: memmap-backed binary dataset snapshots.
+
+The reference hides per-sample packing cost behind 4 dataloader worker
+processes (`trainer_complete.py:39-42`). The TPU-native loader uses threads
+(`data/loader.py`), but on few-core hosts the per-sample JSON parse +
+quantize/lexsort/pad still bounds epochs. Since every sample packs to the
+same static shapes (the whole design is static-shape), an entire split
+flattens into a handful of fixed-stride arrays — so we pack each sample
+ONCE, persist the arrays as `.npy` memmaps, and later epochs (and val/test
+reruns, and separate processes) read rows by offset with zero JSON work.
+
+Augmented samples bypass the cache by construction (fresh noise each time);
+with AUG_RATIO=0.1 that's 10% of train reads, so the cache still removes
+~90% of steady-state packing work where the host is the bottleneck.
+
+Layout: `<cache_dir>/<digest>/meta.json` + one `<field>.npy` per stream.
+The digest covers the dataset class, packing-relevant config, and the split
+file list + mtimes, so stale caches self-invalidate. Builds are atomic
+(tmpdir + rename); concurrent builders race benignly (one rename wins).
+"""
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import shutil
+import tempfile
+
+import numpy as np
+
+_OPEN_CACHES: dict = {}  # digest -> PackedSampleCache (per-process reuse)
+
+
+def _digest(parts) -> str:
+    h = hashlib.sha256()
+    for p in parts:
+        h.update(str(p).encode())
+        h.update(b"\0")
+    return h.hexdigest()[:16]
+
+
+class PackedSampleCache:
+    """Read view over a completed cache directory."""
+
+    def __init__(self, path: str):
+        with open(os.path.join(path, "meta.json")) as f:
+            self.meta = json.load(f)
+        self.n = self.meta["n"]
+        self.fields = {
+            name: np.load(os.path.join(path, f"{name}.npy"), mmap_mode="r")
+            for name in self.meta["fields"]
+        }
+
+    def row(self, i: int) -> dict:
+        # copy: rows feed collate/np.stack and must not pin the mmap pages
+        return {name: np.array(arr[i]) for name, arr in self.fields.items()}
+
+
+def build_or_open(cache_dir: str, key_parts, n: int, sample_fn,
+                  progress_every: int = 0):
+    """Return a PackedSampleCache for `n` samples, building it if absent.
+
+    sample_fn(i) -> dict[str, np.ndarray] with identical shapes/dtypes for
+    every i (static-shape contract). Non-array fields must be excluded by
+    the caller.
+    """
+    digest = _digest(list(key_parts) + [n, "v1"])
+    hit = _OPEN_CACHES.get(digest)
+    if hit is not None:
+        return hit
+    path = os.path.join(cache_dir, digest)
+    if not os.path.exists(os.path.join(path, "meta.json")):
+        _build(path, n, sample_fn, progress_every)
+    cache = PackedSampleCache(path)
+    _OPEN_CACHES[digest] = cache
+    return cache
+
+
+def _build(path: str, n: int, sample_fn, progress_every: int):
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    tmp = tempfile.mkdtemp(prefix=".build-", dir=os.path.dirname(path) or ".")
+    try:
+        first = sample_fn(0)
+        writers = {}
+        for name, value in first.items():
+            value = np.asarray(value)
+            writers[name] = np.lib.format.open_memmap(
+                os.path.join(tmp, f"{name}.npy"), mode="w+",
+                dtype=value.dtype, shape=(n, *value.shape))
+            writers[name][0] = value
+        for i in range(1, n):
+            sample = sample_fn(i)
+            for name, w in writers.items():
+                w[i] = sample[name]
+            if progress_every and i % progress_every == 0:
+                print(f"[sample-cache] packed {i}/{n}", flush=True)
+        for name, w in writers.items():
+            w.flush()
+        meta = {"n": n,
+                "fields": {name: [list(w.shape[1:]), str(w.dtype)]
+                           for name, w in writers.items()}}
+        with open(os.path.join(tmp, "meta.json"), "w") as f:
+            json.dump(meta, f)
+        del writers
+        try:
+            os.rename(tmp, path)
+        except OSError:
+            if os.path.exists(os.path.join(path, "meta.json")):
+                shutil.rmtree(tmp, ignore_errors=True)  # lost a benign race
+            else:
+                raise
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def split_fingerprint(root: str, info_files) -> list:
+    """Digest parts for a dataset: file list + mtimes of the info JSONs'
+    directory (cheap proxy — per-file stat of 26k entries costs more than a
+    rebuild check should)."""
+    try:
+        dir_mtime = os.stat(root).st_mtime_ns
+    except OSError:
+        dir_mtime = 0
+    h = hashlib.sha256()
+    for name in info_files:
+        h.update(name.encode())
+        h.update(b"\0")
+    return [root, dir_mtime, h.hexdigest()]

@@ -20,20 +20,37 @@ from plankassembly_tpu.data.packing import pack_input_sequence, pack_output_sequ
 
 
 class LineDataset:
-    """Map-style dataset: index -> dict of numpy arrays + 'name'."""
+    """Map-style dataset: index -> dict of numpy arrays + 'name'.
+
+    cache_dir: optional packed-sample cache (`data/cache.py`) — packs every
+    sample once into memmaps, so steady-state reads skip the JSON parse and
+    quantize/lexsort/pad work entirely. Augmented reads (probability
+    AUG_RATIO when `augmentation`) always pack fresh from the JSON.
+    """
 
     def __init__(self, root: str, info_files: list[str], cfg: Config,
-                 augmentation: bool = False, rng=None):
+                 augmentation: bool = False, rng=None,
+                 cache_dir: str | None = None):
         self.root = root
         self.info_files = info_files
         self.cfg = cfg
         self.augmentation = augmentation
         self.rng = rng or np.random
+        self._cache = None
+        if cache_dir:
+            from plankassembly_tpu.data import cache as _c
+            key = [type(self).__name__,
+                   cfg.DATA.MAX_INPUT_LENGTH, cfg.DATA.MAX_OUTPUT_LENGTH,
+                   cfg.DATA.NUM_BITS, cfg.TOKEN.END, cfg.TOKEN.PAD]
+            key += _c.split_fingerprint(root, info_files)
+            self._cache = _c.build_or_open(
+                cache_dir, key, len(info_files),
+                lambda i: self._pack(i)[1], progress_every=5000)
 
     def __len__(self) -> int:
         return len(self.info_files)
 
-    def __getitem__(self, index: int) -> dict:
+    def _pack(self, index: int, augment: bool = False):
         with open(os.path.join(self.root, self.info_files[index])) as f:
             info = json.loads(f.read())
 
@@ -47,7 +64,7 @@ class LineDataset:
         planks = np.array(info["coords"]).flatten()
         attach = np.array(info["attach"]).flatten()
 
-        if self.augmentation and self.rng.random() < self.cfg.DATA.AUG_RATIO:
+        if augment:
             linestrings, views, types = add_noise(
                 linestrings, views, types,
                 self.cfg.DATA.NOISE_RATIO, self.cfg.DATA.NOISE_LENGTH,
@@ -57,5 +74,13 @@ class LineDataset:
         inputs = pack_input_sequence(
             lines, views, types, self.cfg.DATA, self.cfg.TOKEN, with_type=True)
         outputs = pack_output_sequence(planks, attach, self.cfg.DATA, self.cfg.TOKEN)
+        return name, {**inputs, **outputs}
 
-        return {"name": name, **inputs, **outputs}
+    def __getitem__(self, index: int) -> dict:
+        augment = (self.augmentation
+                   and self.rng.random() < self.cfg.DATA.AUG_RATIO)
+        if self._cache is not None and not augment:
+            name = os.path.splitext(self.info_files[index])[0].split("/")[-1]
+            return {"name": name, **self._cache.row(index)}
+        name, arrays = self._pack(index, augment)
+        return {"name": name, **arrays}

@@ -154,8 +154,12 @@ class Trainer:
     # ------------------------------------------------------------------
     def _dataset(self, split_files: str, augmentation: bool):
         info_files = parse_splits_list(split_files)
+        kwargs = {}
+        if self.cfg.trainer.sample_cache and self.dataset_cls is LineDataset:
+            kwargs["cache_dir"] = os.path.join(
+                self.cfg.trainer.default_root_dir, ".sample_cache")
         return self.dataset_cls(self.cfg.ROOT, info_files, self.cfg,
-                                augmentation=augmentation)
+                                augmentation=augmentation, **kwargs)
 
     def train_dataloader(self) -> DataLoader:
         return DataLoader(self._dataset(self.cfg.DATASETS_TRAIN,

@@ -54,3 +54,86 @@ def test_workers_overlap_slow_getitem():
     threaded = time.perf_counter() - t0
 
     assert threaded < serial / 2, (serial, threaded)
+
+
+def _write_infos(tmp_path, n=3):
+    import json
+    import os
+
+    from plankassembly_tpu.data import geometry as geo
+    from plankassembly_tpu.factory.projection import (
+        VIEWS, postprocess_complete, project_boxes,
+    )
+    from plankassembly_tpu.factory.synthetic import generate_cabinet
+
+    os.makedirs(tmp_path / "infos", exist_ok=True)
+    names = []
+    for seed in range(n):
+        planks, attach = generate_cabinet(seed, max_planks=5)
+        boxes = planks[1:] / 1280.0
+        svgs, views, types_all = [], [], []
+        for v_i, view in enumerate(VIEWS):
+            lines, types = project_boxes(boxes, view)
+            lines, types = postprocess_complete(lines, types)
+            svgs.extend(geo.to_geojson(line) for line in lines)
+            types_all.extend(types)
+            views.extend([v_i] * len(lines))
+        name = f"c{seed}"
+        info = {"name": name, "views": views, "types": types_all,
+                "svgs": svgs,
+                "lines": [geo.bounds(geo.from_geojson(s)).tolist()
+                          for s in svgs],
+                "coords": np.round(planks / 1280.0, 3).tolist(),
+                "attach": attach.tolist()}
+        with open(tmp_path / "infos" / f"{name}.json", "w") as f:
+            json.dump(info, f)
+        names.append(f"{name}.json")
+    return names
+
+
+def test_packed_sample_cache_matches_uncached(tmp_path):
+    """cache_dir datasets must return byte-identical samples, and cached
+    reads must not touch the JSON/packing path again."""
+    from plankassembly_tpu.config import Config
+    from plankassembly_tpu.data import LineDataset
+
+    names = _write_infos(tmp_path)
+    cfg = Config()
+    plain = LineDataset(str(tmp_path / "infos"), names, cfg)
+    cached = LineDataset(str(tmp_path / "infos"), names, cfg,
+                         cache_dir=str(tmp_path / "cache"))
+    for i in range(len(names)):
+        a, b = plain[i], cached[i]
+        assert a["name"] == b["name"]
+        for key in a:
+            if key != "name":
+                np.testing.assert_array_equal(a[key], b[key])
+
+    # reopen: must hit the existing cache and never re-pack
+    reopened = LineDataset(str(tmp_path / "infos"), names, cfg,
+                           cache_dir=str(tmp_path / "cache"))
+    reopened._pack = None  # any packing attempt would now raise
+    sample = reopened[1]
+    np.testing.assert_array_equal(sample["input_value"],
+                                  plain[1]["input_value"])
+
+
+def test_packed_sample_cache_augmented_reads_bypass(tmp_path):
+    """With AUG_RATIO=1.0 every augmented read packs fresh (noise differs
+    from the cached clean sample with overwhelming probability)."""
+    import dataclasses
+
+    from plankassembly_tpu.config import Config
+    from plankassembly_tpu.data import LineDataset
+
+    names = _write_infos(tmp_path)
+    cfg = Config()
+    cfg = dataclasses.replace(
+        cfg, DATA=dataclasses.replace(cfg.DATA, AUG_RATIO=1.0,
+                                      NOISE_RATIO=0.5))
+    rng = np.random.default_rng(0)
+    ds = LineDataset(str(tmp_path / "infos"), names, cfg, augmentation=True,
+                     rng=rng, cache_dir=str(tmp_path / "cache"))
+    clean = LineDataset(str(tmp_path / "infos"), names, cfg)
+    aug = ds[0]
+    assert not np.array_equal(aug["input_value"], clean[0]["input_value"])
