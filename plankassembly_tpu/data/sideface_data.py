@@ -139,10 +139,18 @@ def extract_sidefaces(linestrings, views, max_thickness, merge_tolerance,
 
 
 class SidefaceDataset:
-    """Map-style dataset for the sideface modality."""
+    """Map-style dataset for the sideface modality.
+
+    cache_dir: optional packed-sample cache (`data/cache.py`) over the CLEAN
+    extraction+packing — the polygonizer is the most expensive `__getitem__`
+    in the framework, and the clean path is deterministic per sample.
+    Augmented reads re-run extraction on noisy lines; their degenerate
+    zero-face fallback IS the clean sample, so it reads from the cache too.
+    """
 
     def __init__(self, root: str, info_files: list[str], cfg: Config,
-                 augmentation: bool = False, rng=None):
+                 augmentation: bool = False, rng=None,
+                 cache_dir: str | None = None):
         self.root = root
         self.info_files = info_files
         self.cfg = cfg
@@ -156,26 +164,67 @@ class SidefaceDataset:
         # clean (un-augmented) extractions are deterministic per sample —
         # cache them; only noisy augmentation re-runs the polygonizer
         self._clean_cache: dict[int, tuple] = {}
+        self._cache = None
+        if cache_dir:
+            from plankassembly_tpu.data import cache as _c
+            key = [type(self).__name__,
+                   cfg.DATA.MAX_INPUT_LENGTH, cfg.DATA.MAX_OUTPUT_LENGTH,
+                   cfg.DATA.NUM_BITS, cfg.TOKEN.END, cfg.TOKEN.PAD,
+                   data.MAX_THICKNESS, data.MIN_THICKNESS,
+                   data.MERGE_TOLERANCE, data.SCALE]
+            key += _c.split_fingerprint(root, info_files)
+            self._cache = _c.build_or_open(
+                cache_dir, key, len(info_files),
+                lambda i: self._pack_clean(i), progress_every=2000)
 
     def __len__(self) -> int:
         return len(self.info_files)
 
-    def __getitem__(self, index: int) -> dict:
+    def _load(self, index: int):
         with open(os.path.join(self.root, self.info_files[index])) as f:
             info = json.loads(f.read())
-
         name = info["name"]
         linestrings = [geo.from_geojson(svg) for svg in info["svgs"]]
         views = np.array(info["views"], dtype=np.int64)
         types = np.array(info["types"], dtype=np.int64)
-
         planks = np.array(info["coords"]).flatten()
         attach = np.array(info["attach"]).flatten()
+        return name, linestrings, views, types, planks, attach
+
+    def _clean_faces(self, index, linestrings, views):
+        if index in self._clean_cache:
+            return self._clean_cache[index]
+        faces, faceviews = extract_sidefaces(
+            linestrings, views, self.max_thickness,
+            self.merge_tolerance, self.min_thickness)
+        self._clean_cache[index] = (faces, faceviews)
+        return faces, faceviews
+
+    def _pack(self, faces, faceviews, planks, attach) -> dict:
+        inputs = pack_input_sequence(
+            faces, faceviews, None, self.cfg.DATA, self.cfg.TOKEN,
+            with_type=False)
+        outputs = pack_output_sequence(planks, attach, self.cfg.DATA,
+                                       self.cfg.TOKEN)
+        return {**inputs, **outputs}
+
+    def _pack_clean(self, index: int) -> dict:
+        _, linestrings, views, _, planks, attach = self._load(index)
+        faces, faceviews = self._clean_faces(index, linestrings, views)
+        return self._pack(faces, faceviews, planks, attach)
+
+    def __getitem__(self, index: int) -> dict:
+        augment = (self.augmentation
+                   and self.rng.random() < self.cfg.DATA.AUG_RATIO)
+        if self._cache is not None and not augment:
+            name = os.path.splitext(self.info_files[index])[0].split("/")[-1]
+            return {"name": name, **self._cache.row(index)}
+
+        name, linestrings, views, types, planks, attach = self._load(index)
 
         faces = np.zeros((0, 4))
         faceviews = np.zeros((0,), dtype=np.int64)
-
-        if self.augmentation and self.rng.random() < self.cfg.DATA.AUG_RATIO:
+        if augment:
             noisy_lines, noisy_views, _ = add_noise(
                 linestrings, views, types,
                 self.cfg.DATA.NOISE_RATIO, self.cfg.DATA.NOISE_LENGTH,
@@ -186,16 +235,8 @@ class SidefaceDataset:
 
         # degenerate case: fall back to clean lines (`sideface_data.py:240-245`)
         if len(faces) == 0:
-            if index in self._clean_cache:
-                faces, faceviews = self._clean_cache[index]
-            else:
-                faces, faceviews = extract_sidefaces(
-                    linestrings, views, self.max_thickness,
-                    self.merge_tolerance, self.min_thickness)
-                self._clean_cache[index] = (faces, faceviews)
+            if self._cache is not None:
+                return {"name": name, **self._cache.row(index)}
+            faces, faceviews = self._clean_faces(index, linestrings, views)
 
-        inputs = pack_input_sequence(
-            faces, faceviews, None, self.cfg.DATA, self.cfg.TOKEN, with_type=False)
-        outputs = pack_output_sequence(planks, attach, self.cfg.DATA, self.cfg.TOKEN)
-
-        return {"name": name, **inputs, **outputs}
+        return {"name": name, **self._pack(faces, faceviews, planks, attach)}

@@ -155,7 +155,8 @@ class Trainer:
     def _dataset(self, split_files: str, augmentation: bool):
         info_files = parse_splits_list(split_files)
         kwargs = {}
-        if self.cfg.trainer.sample_cache and self.dataset_cls is LineDataset:
+        if self.cfg.trainer.sample_cache and self.dataset_cls in (
+                LineDataset, SidefaceDataset):
             kwargs["cache_dir"] = os.path.join(
                 self.cfg.trainer.default_root_dir, ".sample_cache")
         return self.dataset_cls(self.cfg.ROOT, info_files, self.cfg,

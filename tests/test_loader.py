@@ -137,3 +137,20 @@ def test_packed_sample_cache_augmented_reads_bypass(tmp_path):
     clean = LineDataset(str(tmp_path / "infos"), names, cfg)
     aug = ds[0]
     assert not np.array_equal(aug["input_value"], clean[0]["input_value"])
+
+
+def test_sideface_packed_cache_matches_uncached(tmp_path):
+    from plankassembly_tpu.config import Config
+    from plankassembly_tpu.data import SidefaceDataset
+
+    names = _write_infos(tmp_path)
+    cfg = Config()
+    plain = SidefaceDataset(str(tmp_path / "infos"), names, cfg)
+    cached = SidefaceDataset(str(tmp_path / "infos"), names, cfg,
+                             cache_dir=str(tmp_path / "cache"))
+    for i in range(len(names)):
+        a, b = plain[i], cached[i]
+        assert a["name"] == b["name"]
+        for key in a:
+            if key != "name":
+                np.testing.assert_array_equal(a[key], b[key])
