@@ -68,6 +68,10 @@ class ModelConfig:
 
     NUM_MODEL: int = 512
     NUM_HEAD: int = 8
+    # Grouped-query / multi-query attention (extension over the reference):
+    # number of shared K/V heads; 0 = NUM_HEAD (plain MHA, reference layout).
+    # Shrinks decode K/V caches by NUM_HEAD/NUM_KV_HEAD.
+    NUM_KV_HEAD: int = 0
     NUM_FEEDFORWARD: int = 1024
     DROPOUT: float = 0.2
     ACTIVATION: str = "relu"

@@ -48,14 +48,17 @@ def _project(h, w, b, B, H, Dh, cd):
 
 def precompute_cross_kv(params, memory, dims: ModelDims, compute_dtype):
     """Per-layer cross-attention K/V over the encoder memory, stacked on a
-    leading layer axis: (Ld, B, Li, H, Dh)."""
+    leading layer axis: (Ld, B, Li, kvH, Dh). kvH < H under GQA/MQA
+    (`ModelDims.num_kv_head`) — the cache, and with it the decode loop's
+    dominant HBM stream, shrinks by H/kvH."""
     B = memory.shape[0]
-    H, Dh = dims.num_head, dims.head_dim
+    Dh = dims.head_dim
+    kvH = dims.kv_heads
     ca = params["decoder"]["cross_attn"]
 
     def one_layer(lp):
-        k = _project(memory, lp["wk"], lp["bk"], B, H, Dh, compute_dtype)
-        v = _project(memory, lp["wv"], lp["bv"], B, H, Dh, compute_dtype)
+        k = _project(memory, lp["wk"], lp["bk"], B, kvH, Dh, compute_dtype)
+        v = _project(memory, lp["wv"], lp["bv"], B, kvH, Dh, compute_dtype)
         return k, v
 
     return jax.vmap(one_layer)(ca)
@@ -108,9 +111,38 @@ def decode_from_memory(params, memory, memory_mask, dims: ModelDims,
     cd = compute_dtype
     S = dims.max_output_length
     H, Dh, D = dims.num_head, dims.head_dim, dims.num_model
+    kvH, G = dims.kv_heads, dims.kv_groups
+    Dkv = kvH * Dh
+    if use_kernel and G > 1:
+        # the Pallas ablation kernel assumes head-major full-H K/V tiles
+        use_kernel = False
+        use_mxu = jax.default_backend() == "tpu"
     dof = dims.num_output_dof
     B = memory.shape[0]
     Li = memory.shape[1]
+
+    def grouped_scores(q, k, S_len):
+        """q (B,1,H,Dh) x k (B,S,kvH,Dh) -> (B,H,1,S) without materializing
+        a repeated K (the int8 cache stays the only HBM stream)."""
+        if G == 1:
+            return jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                              preferred_element_type=jnp.float32)
+        qg = q.reshape(B, 1, kvH, G, Dh)
+        s = jnp.einsum("bqkgd,bskd->bkgqs", qg, k,
+                       preferred_element_type=jnp.float32)
+        return s.reshape(B, H, 1, S_len)
+
+    def grouped_out(w, v, S_len):
+        """w (B,H,1,S) x v (B,S,kvH,Dh) -> (B,1,H,Dh)."""
+        if G == 1:
+            return jnp.einsum("bhqk,bkhd->bqhd", w, v,
+                              preferred_element_type=jnp.float32)
+        wg = w.reshape(B, kvH, G, 1, S_len)
+        o = jnp.einsum("bkgqs,bskd->bqkgd", wg, v,
+                       preferred_element_type=jnp.float32)
+        return o.reshape(B, 1, H, Dh)
+
+    head_kv = jnp.arange(H) // G  # query head -> its kv head
 
     cross_k, cross_v = precompute_cross_kv(params, memory, dims, cd)
     if use_kernel:
@@ -149,21 +181,23 @@ def decode_from_memory(params, memory, memory_mask, dims: ModelDims,
         # extracted output, adding no traffic.
         from plankassembly_tpu.ops.cross_decode import quantize_rows
         Ld = dims.num_decoder_layers
-        k_flat = cross_k.reshape(Ld, B, Li, D)
-        v_flat = cross_v.reshape(Ld, B, Li, D)
+        k_flat = cross_k.reshape(Ld, B, Li, Dkv)
+        v_flat = cross_v.reshape(Ld, B, Li, Dkv)
         if kv_quant:
-            # absmax per (layer, batch, head-column-block)
-            k4 = k_flat.reshape(Ld, B, Li, H, Dh)
-            v4 = v_flat.reshape(Ld, B, Li, H, Dh)
+            # absmax per (layer, batch, kv-head-column-block)
+            k4 = k_flat.reshape(Ld, B, Li, kvH, Dh)
+            v4 = v_flat.reshape(Ld, B, Li, kvH, Dh)
             k4_q, ck_s = quantize_rows(k4, axes=(2, 4))
             v4_q, cv_s = quantize_rows(v4, axes=(2, 4))
-            k_flat = k4_q.reshape(Ld, B, Li, D)
-            v_flat = v4_q.reshape(Ld, B, Li, D)
-            ck_s = ck_s.reshape(Ld, B, H)   # (l, b, h)
-            cv_s = cv_s.reshape(Ld, B, H)
+            k_flat = k4_q.reshape(Ld, B, Li, Dkv)
+            v_flat = v4_q.reshape(Ld, B, Li, Dkv)
+            ck_s = ck_s.reshape(Ld, B, kvH)   # (l, b, kv head)
+            cv_s = cv_s.reshape(Ld, B, kvH)
         else:
             ck_s = cv_s = None
-        eye_h = jnp.eye(H, dtype=jnp.float32)
+        # block-placement map: query head h reads/writes the Dh-wide column
+        # block of its kv head h//G. eye(H) when G == 1 (plain MHA).
+        eye_h = (head_kv[:, None] == jnp.arange(kvH)[None]).astype(jnp.float32)
         bias_b = jnp.where(memory_mask, NEG_INF, 0.0)[:, None, :]
         bias_b = bias_b.astype(jnp.float32)  # (B, 1, Li)
         cross_k = cross_v = None
@@ -219,13 +253,13 @@ def decode_from_memory(params, memory, memory_mask, dims: ModelDims,
         # scale varies over the score's key axis (multiply scores), the V
         # scale folds into the attention weights — so the int8 cache is the
         # only self-attention HBM traffic.
-        k_cache0 = jnp.zeros((L, B, S, H, Dh), jnp.int8)
-        v_cache0 = jnp.zeros((L, B, S, H, Dh), jnp.int8)
-        ks_cache0 = jnp.zeros((L, B, S, H), jnp.float32)
-        vs_cache0 = jnp.zeros((L, B, S, H), jnp.float32)
+        k_cache0 = jnp.zeros((L, B, S, kvH, Dh), jnp.int8)
+        v_cache0 = jnp.zeros((L, B, S, kvH, Dh), jnp.int8)
+        ks_cache0 = jnp.zeros((L, B, S, kvH), jnp.float32)
+        vs_cache0 = jnp.zeros((L, B, S, kvH), jnp.float32)
     else:
-        k_cache0 = jnp.zeros((L, B, S, H, Dh), cd)
-        v_cache0 = jnp.zeros((L, B, S, H, Dh), cd)
+        k_cache0 = jnp.zeros((L, B, S, kvH, Dh), cd)
+        v_cache0 = jnp.zeros((L, B, S, kvH, Dh), cd)
         ks_cache0 = vs_cache0 = jnp.zeros((), jnp.float32)
     h_cache0 = jnp.zeros((B, S, D),
                          cd if use_mxu else jnp.float32)
@@ -252,12 +286,12 @@ def decode_from_memory(params, memory, memory_mask, dims: ModelDims,
         for l in range(L):
             # self-attention with in-place cache append
             h = layer_norm(n1_l[l], x)
-            qkv = h.astype(cd) @ wqkv_l[l] + bqkv_l[l]
-            qkv = qkv.reshape(B, 3, H, Dh)
-            q, k_t, v_t = (qkv[:, 0][:, None], qkv[:, 1][:, None],
-                           qkv[:, 2][:, None])
+            qkv = (h.astype(cd) @ wqkv_l[l] + bqkv_l[l])[:, 0]  # (B, D+2Dkv)
+            q = qkv[:, :D].reshape(B, 1, H, Dh)
+            k_t = qkv[:, D:D + Dkv].reshape(B, 1, kvH, Dh)
+            v_t = qkv[:, D + Dkv:].reshape(B, 1, kvH, Dh)
             if self_quant:
-                def _q_token(x):  # (B,1,H,Dh) -> int8, (B,1,H) f32
+                def _q_token(x):  # (B,1,kvH,Dh) -> int8, (B,1,kvH) f32
                     xf = x.astype(jnp.float32)
                     s = jnp.maximum(
                         jnp.max(jnp.abs(xf), axis=-1) / 127.0, 1e-8)
@@ -272,27 +306,24 @@ def decode_from_memory(params, memory, memory_mask, dims: ModelDims,
                     ks_cache, k_s[None], (l, 0, t, 0))
                 vs_cache = jax.lax.dynamic_update_slice(
                     vs_cache, v_s[None], (l, 0, t, 0))
-                scores = jnp.einsum(
-                    "bqhd,bkhd->bhqk", q, k_cache[l].astype(cd),
-                    preferred_element_type=jnp.float32) * scale
+                scores = grouped_scores(q, k_cache[l].astype(cd), S) * scale
                 # per-token K scale varies over the key axis -> fold into
-                # scores; V scale folds into the attention weights
-                scores = scores * ks_cache[l].transpose(0, 2, 1)[:, :, None, :]
+                # scores; V scale folds into the attention weights. Index
+                # (B,S,kvH) scales out to query heads via head_kv.
+                ks_t = ks_cache[l].transpose(0, 2, 1)[:, head_kv]  # (B,H,S)
+                vs_t = vs_cache[l].transpose(0, 2, 1)[:, head_kv]
+                scores = scores * ks_t[:, :, None, :]
                 w = jax.nn.softmax(scores + self_bias, axis=-1)
-                w = w * vs_cache[l].transpose(0, 2, 1)[:, :, None, :]
-                a = jnp.einsum("bhqk,bkhd->bqhd", w.astype(cd),
-                               v_cache[l].astype(cd),
-                               preferred_element_type=jnp.float32)
+                w = w * vs_t[:, :, None, :]
+                a = grouped_out(w.astype(cd), v_cache[l].astype(cd), S)
             else:
                 k_cache = jax.lax.dynamic_update_slice(
                     k_cache, k_t[None], (l, 0, t, 0, 0))
                 v_cache = jax.lax.dynamic_update_slice(
                     v_cache, v_t[None], (l, 0, t, 0, 0))
-                scores = jnp.einsum("bqhd,bkhd->bhqk", q, k_cache[l],
-                                    preferred_element_type=jnp.float32) * scale
+                scores = grouped_scores(q, k_cache[l], S) * scale
                 w = jax.nn.softmax(scores + self_bias, axis=-1)
-                a = jnp.einsum("bhqk,bkhd->bqhd", w.astype(cd), v_cache[l],
-                               preferred_element_type=jnp.float32)
+                a = grouped_out(w.astype(cd), v_cache[l], S)
             a = a.reshape(B, 1, D)
             sa = sa_l[l]
             a = a.astype(cd) @ sa["wo"].astype(cd) + sa["bo"].astype(cd)
@@ -313,9 +344,9 @@ def decode_from_memory(params, memory, memory_mask, dims: ModelDims,
             elif use_mxu:
                 qh = q2[:, 0].astype(jnp.float32)       # (B, H, Dh)
                 if ck_s is not None:
-                    qh = qh * ck_s[l][..., None]        # fold K dequant
+                    qh = qh * ck_s[l][:, head_kv][..., None]  # fold K dequant
                 qblk = (qh[:, :, None, :]
-                        * eye_h[None, :, :, None]).reshape(B, H, D)
+                        * eye_h[None, :, :, None]).reshape(B, H, Dkv)
                 sc = jnp.einsum(
                     "bhe,ble->bhl", qblk.astype(cd), k_flat[l].astype(cd),
                     preferred_element_type=jnp.float32) * scale
@@ -323,10 +354,10 @@ def decode_from_memory(params, memory, memory_mask, dims: ModelDims,
                 of = jnp.einsum(
                     "bhl,ble->bhe", w.astype(cd), v_flat[l].astype(cd),
                     preferred_element_type=jnp.float32)
-                c = (of.reshape(B, H, H, Dh)
+                c = (of.reshape(B, H, kvH, Dh)
                      * eye_h[None, :, :, None]).sum(axis=2)  # (B, H, Dh)
                 if cv_s is not None:
-                    c = c * cv_s[l][..., None]
+                    c = c * cv_s[l][:, head_kv][..., None]
                 c = c.reshape(B, 1, D)
             else:
                 if kv_quant:
@@ -336,11 +367,9 @@ def decode_from_memory(params, memory, memory_mask, dims: ModelDims,
                           * cross_v[1][1][l].astype(cd))
                 else:
                     ck, cv = cross_k[l], cross_v[l]
-                scores = jnp.einsum("bqhd,bkhd->bhqk", q2, ck,
-                                    preferred_element_type=jnp.float32) * scale
+                scores = grouped_scores(q2, ck, Li) * scale
                 w = jax.nn.softmax(scores + cross_bias, axis=-1)
-                c = jnp.einsum("bhqk,bkhd->bqhd", w.astype(cd), cv,
-                               preferred_element_type=jnp.float32)
+                c = grouped_out(w.astype(cd), cv, Li)
                 c = c.reshape(B, 1, D)
             c = c.astype(cd) @ ca["wo"].astype(cd) + ca["bo"].astype(cd)
             x = x + c.astype(x.dtype)

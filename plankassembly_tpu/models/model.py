@@ -34,7 +34,15 @@ NEG_INF = -1e9  # finite -inf stand-in: keeps softmax NaN-free on all-masked row
 
 @dataclasses.dataclass(frozen=True)
 class ModelDims:
-    """Static model geometry derived from a Config (`models.py:32-42`)."""
+    """Static model geometry derived from a Config (`models.py:32-42`).
+
+    num_kv_head < num_head enables grouped-query / multi-query attention
+    (Shazeer 2019, arXiv 1911.02150) — an opt-in EXTENSION over the
+    reference architecture (which is plain MHA): K/V project to num_kv_head
+    heads shared by groups of num_head//num_kv_head query heads, shrinking
+    the decode K/V caches (the AR loop's dominant HBM traffic) by the same
+    factor. The default (= num_head) is bit-identical to the reference.
+    """
 
     num_model: int
     num_head: int
@@ -51,6 +59,17 @@ class ModelDims:
     vocab_size: int
     end: int
     pad: int
+    num_kv_head: int = 0  # 0 -> num_head (plain MHA, the reference layout)
+
+    @property
+    def kv_heads(self) -> int:
+        return self.num_kv_head or self.num_head
+
+    @property
+    def kv_groups(self) -> int:
+        assert self.num_head % self.kv_heads == 0, \
+            (self.num_head, self.kv_heads)
+        return self.num_head // self.kv_heads
 
     @property
     def head_dim(self) -> int:
@@ -69,6 +88,7 @@ class ModelDims:
         return ModelDims(
             num_model=cfg.MODEL.NUM_MODEL,
             num_head=cfg.MODEL.NUM_HEAD,
+            num_kv_head=getattr(cfg.MODEL, "NUM_KV_HEAD", 0) or 0,
             num_feedforward=cfg.MODEL.NUM_FEEDFORWARD,
             dropout=cfg.MODEL.DROPOUT,
             num_encoder_layers=cfg.MODEL.NUM_ENCODER_LAYERS,
@@ -99,15 +119,16 @@ def _xavier(key, shape, dtype=jnp.float32):
 
 def _init_attn(key, dims: ModelDims, layers: int):
     d = dims.num_model
+    dkv = dims.kv_heads * dims.head_dim  # == d for plain MHA
     ks = jax.random.split(key, 4)
     return {
         "wq": _xavier(ks[0], (layers, d, d)),
-        "wk": _xavier(ks[1], (layers, d, d)),
-        "wv": _xavier(ks[2], (layers, d, d)),
+        "wk": _xavier(ks[1], (layers, d, dkv)),
+        "wv": _xavier(ks[2], (layers, d, dkv)),
         "wo": _xavier(ks[3], (layers, d, d)),
         "bq": jnp.zeros((layers, d)),
-        "bk": jnp.zeros((layers, d)),
-        "bv": jnp.zeros((layers, d)),
+        "bk": jnp.zeros((layers, dkv)),
+        "bv": jnp.zeros((layers, dkv)),
         "bo": jnp.zeros((layers, d)),
     }
 
@@ -223,8 +244,13 @@ def attention(p, q_in, kv_in, bias, dims: ModelDims, *, dropout_key=None,
     k = (kv_in.astype(cd) @ p["wk"].astype(cd) + p["bk"].astype(cd))
     v = (kv_in.astype(cd) @ p["wv"].astype(cd) + p["bv"].astype(cd))
     q = q.reshape(B, Lq, H, Dh)
-    k = k.reshape(B, -1, H, Dh)
-    v = v.reshape(B, -1, H, Dh)
+    k = k.reshape(B, -1, dims.kv_heads, Dh)
+    v = v.reshape(B, -1, dims.kv_heads, Dh)
+    if dims.kv_groups > 1:
+        # GQA/MQA: broadcast each K/V head over its query-head group. XLA
+        # fuses the repeat into the dots on the full-sequence paths.
+        k = jnp.repeat(k, dims.kv_groups, axis=2)
+        v = jnp.repeat(v, dims.kv_groups, axis=2)
 
     if flash and kv_lengths is not None and deterministic \
             and _flash_enabled(B, H):
