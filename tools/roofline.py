@@ -71,6 +71,8 @@ def main():
     ap.add_argument("--trace", default=None, help="write jax.profiler traces")
     ap.add_argument("--programs", default="decode,train",
                     help="comma list: decode,nocache,train")
+    ap.add_argument("--kv-head", type=int, default=0,
+                    help="NUM_KV_HEAD override (GQA/MQA decode measurement)")
     args = ap.parse_args()
 
     import os
@@ -90,7 +92,13 @@ def main():
         init_state, make_optimizer, make_train_step,
     )
 
+    import dataclasses
+
     cfg = Config()
+    if args.kv_head:
+        cfg = dataclasses.replace(
+            cfg, MODEL=dataclasses.replace(cfg.MODEL,
+                                           NUM_KV_HEAD=args.kv_head))
     dims = ModelDims.from_config(cfg)
     params = init_params(jax.random.PRNGKey(0), dims)
     programs = args.programs.split(",")
