@@ -173,7 +173,8 @@ class RasterDataset:
 
     def __init__(self, root: str, info_files: list[str], cfg: Config,
                  augmentation: bool = False, rng=None,
-                 image_size: int = 256, device_rasterize: bool = True):
+                 image_size: int = 256, device_rasterize: bool = True,
+                 cache_dir: str | None = None):
         self.root = root
         self.info_files = info_files
         self.cfg = cfg
@@ -184,11 +185,21 @@ class RasterDataset:
         # every input token quadruple is one segment, so the token budget
         # bounds the segment count
         self.max_lines = cfg.DATA.MAX_INPUT_LENGTH // cfg.DATA.NUM_INPUT_DOF
+        self._cache = None
+        if cache_dir and device_rasterize:
+            from plankassembly_tpu.data import cache as _c
+            key = [type(self).__name__, self.max_lines,
+                   cfg.DATA.MAX_OUTPUT_LENGTH, cfg.DATA.NUM_BITS,
+                   cfg.TOKEN.END, cfg.TOKEN.PAD]
+            key += _c.split_fingerprint(root, info_files)
+            self._cache = _c.build_or_open(
+                cache_dir, key, len(info_files),
+                lambda i: self._pack(i)[1], progress_every=5000)
 
     def __len__(self) -> int:
         return len(self.info_files)
 
-    def __getitem__(self, index: int) -> dict:
+    def _pack(self, index: int, augment: bool = False):
         with open(os.path.join(self.root, self.info_files[index])) as f:
             info = json.loads(f.read())
 
@@ -200,7 +211,7 @@ class RasterDataset:
         planks = np.array(info["coords"]).flatten()
         attach = np.array(info["attach"]).flatten()
 
-        if self.augmentation and self.rng.random() < self.cfg.DATA.AUG_RATIO:
+        if augment:
             linestrings, views, types = add_noise(
                 linestrings, views, types,
                 self.cfg.DATA.NOISE_RATIO, self.cfg.DATA.NOISE_LENGTH,
@@ -210,6 +221,15 @@ class RasterDataset:
                                        self.cfg.TOKEN)
         if self.device_rasterize:
             inputs = pack_lines(linestrings, views, types, self.max_lines)
-            return {"name": name, **inputs, **outputs}
+            return name, {**inputs, **outputs}
         image = rasterize_views(linestrings, views, types, self.image_size)
-        return {"name": name, "input_image": image, **outputs}
+        return name, {"input_image": image, **outputs}
+
+    def __getitem__(self, index: int) -> dict:
+        augment = (self.augmentation
+                   and self.rng.random() < self.cfg.DATA.AUG_RATIO)
+        if self._cache is not None and not augment:
+            name = os.path.splitext(self.info_files[index])[0].split("/")[-1]
+            return {"name": name, **self._cache.row(index)}
+        name, arrays = self._pack(index, augment)
+        return {"name": name, **arrays}

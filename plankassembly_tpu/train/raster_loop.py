@@ -41,11 +41,17 @@ class RasterTrainer(Trainer):
             loss_impl=partial(train_step_loss_raster, vit=self.vit))
 
     def _dataset(self, split_files: str, augmentation: bool):
+        import os
+
         from plankassembly_tpu.data.loader import parse_splits_list
         info_files = parse_splits_list(split_files)
+        kwargs = {}
+        if self.cfg.trainer.sample_cache:
+            kwargs["cache_dir"] = os.path.join(
+                self.cfg.trainer.default_root_dir, ".sample_cache")
         return RasterDataset(self.cfg.ROOT, info_files, self.cfg,
                              augmentation=augmentation,
-                             image_size=self.vit.image_size)
+                             image_size=self.vit.image_size, **kwargs)
 
     def init_state(self, seed: int | None = None):
         params = init_vit_params(

@@ -154,3 +154,20 @@ def test_sideface_packed_cache_matches_uncached(tmp_path):
         for key in a:
             if key != "name":
                 np.testing.assert_array_equal(a[key], b[key])
+
+
+def test_raster_packed_cache_matches_uncached(tmp_path):
+    from plankassembly_tpu.config import Config
+    from plankassembly_tpu.data.raster import RasterDataset
+
+    names = _write_infos(tmp_path)
+    cfg = Config()
+    plain = RasterDataset(str(tmp_path / "infos"), names, cfg)
+    cached = RasterDataset(str(tmp_path / "infos"), names, cfg,
+                           cache_dir=str(tmp_path / "cache"))
+    for i in range(len(names)):
+        a, b = plain[i], cached[i]
+        assert a["name"] == b["name"]
+        for key in a:
+            if key != "name":
+                np.testing.assert_array_equal(a[key], b[key])
