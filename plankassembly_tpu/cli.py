@@ -70,3 +70,25 @@ def main(trainer_cls, argv: list[str] | None = None):
         else:
             prec, rec, f1 = trainer.test(state)
         print(f"precision={prec:.4f} recall={rec:.4f} fmeasure={f1:.4f}")
+
+
+# console-script entry points (pyproject.toml); the root-level trainer_*.py
+# shims remain the reference-compatible invocation surface
+def main_complete():
+    from plankassembly_tpu.train import Trainer
+    main(Trainer)
+
+
+def main_visible():
+    from plankassembly_tpu.train import VisibleTrainer
+    main(VisibleTrainer)
+
+
+def main_sideface():
+    from plankassembly_tpu.train import SidefaceTrainer
+    main(SidefaceTrainer)
+
+
+def main_raster():
+    from plankassembly_tpu.train.raster_loop import RasterTrainer
+    main(RasterTrainer)
