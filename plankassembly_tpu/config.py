@@ -125,6 +125,10 @@ class TrainerConfig:
     # memmaps under <default_root_dir>/.sample_cache; later epochs and
     # val/test reruns skip JSON+packing (aug samples always pack fresh).
     sample_cache: bool = False
+    # Device-resident training data (data/device_loader.py): park the whole
+    # packed split in HBM; per-step host traffic is an index vector plus
+    # freshly-augmented rows. Implies sample_cache. Single-process only.
+    device_data: bool = False
 
 
 @dataclass(frozen=True)

@@ -1,0 +1,119 @@
+"""Device-resident training data: the packed split lives in HBM, batches
+assemble on device from an index vector.
+
+The token datasets are small by accelerator standards (26k samples x ~13 KB
+packed = ~350 MB as int16), so the TPU-native layout is to park the WHOLE
+split in HBM once and make each training step's host->device traffic just
+
+    idx (B,) int32  +  the handful of freshly-augmented rows (~AUG_RATIO*B)
+
+instead of re-shipping ~1 MB of packed tokens every step. That removes the
+host from the steady-state loop (no JSON, no packing, no big transfers —
+also sidestepping this container's remote-TPU transfer leak, CLAUDE.md) and
+makes epochs device-bound.
+
+Augmentation semantics match the map-style path: each (step, row) draws
+Bernoulli(AUG_RATIO); chosen rows are packed fresh with noise on the host
+and scattered over the gathered batch on device. At most `max_aug_rows`
+rows per batch augment (P(Binomial(64, 0.1) > 16) ~ 1e-7 — overflow rows
+stay clean; documented in DEVIATIONS.md).
+
+Training-loop only (shuffle + drop_last); eval keeps the standard
+`DataLoader` (padding/valid-mask contract, and eval is a sliver of time).
+Single-process only — multi-host falls back to the standard loader.
+"""
+from __future__ import annotations
+
+import os
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from plankassembly_tpu.data.loader import DataLoader
+
+
+def _narrow(key: str, value: np.ndarray) -> np.ndarray:
+    if key in DataLoader._INT16_KEYS and value.dtype in (np.int64, np.int32):
+        return value.astype(np.int16)
+    if value.dtype == np.int64:
+        return value.astype(np.int32)
+    return value
+
+
+@partial(jax.jit, static_argnames=("sharding",), donate_argnums=())
+def _assemble(fields, idx, aug_fields, aug_pos, sharding=None):
+    """Gather rows `idx` from the resident split, then scatter the augmented
+    replacement rows at positions `aug_pos` (== batch_size slots drop)."""
+    out = {}
+    for key, store in fields.items():
+        b = store[idx]
+        b = b.at[aug_pos].set(aug_fields[key], mode="drop")
+        if sharding is not None:
+            b = jax.lax.with_sharding_constraint(b, sharding)
+        out[key] = b
+    return out
+
+
+class DeviceDataLoader:
+    """Iterable of device-assembled training batches.
+
+    dataset: a map-style dataset with `_pack(i, augment=True) -> (name,
+    arrays)` (LineDataset/RasterDataset/SidefaceDataset), used ONLY for
+    augmented rows; the clean rows come from `cache` (PackedSampleCache).
+    """
+
+    def __init__(self, dataset, cache, batch_size: int, seed: int = 0,
+                 sharding=None, max_aug_rows: int = 16):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.rng = np.random.default_rng(seed)
+        self.sharding = sharding
+        self.max_aug_rows = max_aug_rows
+        self.names = [os.path.splitext(f)[0].split("/")[-1]
+                      for f in dataset.info_files]
+        # one replicated transfer of the whole split
+        self.fields = {}
+        for key, arr in cache.fields.items():
+            host = _narrow(key, np.asarray(arr))
+            self.fields[key] = jax.device_put(host)
+        self.aug_ratio = (dataset.cfg.DATA.AUG_RATIO
+                          if dataset.augmentation else 0.0)
+
+    def __len__(self) -> int:
+        return len(self.names) // self.batch_size  # drop_last
+
+    def _aug_rows(self, idx: np.ndarray):
+        """Pick and host-pack this batch's augmented rows; pad to a static
+        max_aug_rows (position == batch_size means 'unused, drop')."""
+        K = self.max_aug_rows
+        pos = np.full((K,), self.batch_size, np.int32)
+        packed: list[dict] = []
+        if self.aug_ratio > 0.0:
+            draw = self.rng.random(len(idx)) < self.aug_ratio
+            for j in np.flatnonzero(draw)[:K]:
+                _, arrays = self.dataset._pack(int(idx[j]), augment=True)
+                pos[len(packed)] = j
+                packed.append(arrays)
+        aug = {}
+        for key, store in self.fields.items():
+            rows = np.zeros((K, *store.shape[1:]), dtype=store.dtype)
+            for r, arrays in enumerate(packed):
+                rows[r] = arrays[key]
+            aug[key] = rows
+        return aug, pos
+
+    def __iter__(self):
+        order = self.rng.permutation(len(self.names))
+        for start in range(0, len(order), self.batch_size):
+            idx = order[start:start + self.batch_size]
+            if len(idx) < self.batch_size:
+                return  # drop_last
+            aug, pos = self._aug_rows(idx)
+            batch = _assemble(self.fields, jnp.asarray(idx, jnp.int32),
+                              {k: jnp.asarray(v) for k, v in aug.items()},
+                              jnp.asarray(pos), sharding=self.sharding)
+            batch["name"] = [self.names[i] for i in idx]
+            yield batch

@@ -155,16 +155,23 @@ class Trainer:
     def _dataset(self, split_files: str, augmentation: bool):
         info_files = parse_splits_list(split_files)
         kwargs = {}
-        if self.cfg.trainer.sample_cache and self.dataset_cls in (
+        tc = self.cfg.trainer
+        if (tc.sample_cache or tc.device_data) and self.dataset_cls in (
                 LineDataset, SidefaceDataset):
             kwargs["cache_dir"] = os.path.join(
-                self.cfg.trainer.default_root_dir, ".sample_cache")
+                tc.default_root_dir, ".sample_cache")
         return self.dataset_cls(self.cfg.ROOT, info_files, self.cfg,
                                 augmentation=augmentation, **kwargs)
 
     def train_dataloader(self) -> DataLoader:
-        return DataLoader(self._dataset(self.cfg.DATASETS_TRAIN,
-                                        self.train_augmentation),
+        ds = self._dataset(self.cfg.DATASETS_TRAIN, self.train_augmentation)
+        if (self.cfg.trainer.device_data and jax.process_count() == 1
+                and getattr(ds, "_cache", None) is not None):
+            from plankassembly_tpu.data.device_loader import DeviceDataLoader
+            return DeviceDataLoader(ds, ds._cache, self.global_batch,
+                                    seed=self.cfg.seed_everything,
+                                    sharding=batch_sharding(self.mesh))
+        return DataLoader(ds,
                           batch_size=self.global_batch, shuffle=True,
                           drop_last=True, seed=self.cfg.seed_everything,
                           sharding=batch_sharding(self.mesh),

@@ -46,9 +46,10 @@ class RasterTrainer(Trainer):
         from plankassembly_tpu.data.loader import parse_splits_list
         info_files = parse_splits_list(split_files)
         kwargs = {}
-        if self.cfg.trainer.sample_cache:
+        tc = self.cfg.trainer
+        if tc.sample_cache or tc.device_data:
             kwargs["cache_dir"] = os.path.join(
-                self.cfg.trainer.default_root_dir, ".sample_cache")
+                tc.default_root_dir, ".sample_cache")
         return RasterDataset(self.cfg.ROOT, info_files, self.cfg,
                              augmentation=augmentation,
                              image_size=self.vit.image_size, **kwargs)

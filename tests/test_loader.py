@@ -171,3 +171,85 @@ def test_raster_packed_cache_matches_uncached(tmp_path):
         for key in a:
             if key != "name":
                 np.testing.assert_array_equal(a[key], b[key])
+
+
+def test_device_loader_matches_host_rows(tmp_path):
+    """Device-assembled batches (HBM-resident split + index gather) must
+    contain exactly the cached host rows for the drawn indices."""
+    from plankassembly_tpu.config import Config
+    from plankassembly_tpu.data import LineDataset
+    from plankassembly_tpu.data.device_loader import DeviceDataLoader
+
+    names = _write_infos(tmp_path)
+    cfg = Config()
+    ds = LineDataset(str(tmp_path / "infos"), names, cfg,
+                     cache_dir=str(tmp_path / "cache"))
+    loader = DeviceDataLoader(ds, ds._cache, batch_size=2, seed=7)
+    batch = next(iter(loader))
+    assert len(batch["name"]) == 2
+    name_to_i = {n.split(".")[0]: i for i, n in enumerate(names)}
+    for row, name in enumerate(batch["name"]):
+        ref = ds[name_to_i[name]]
+        for key, val in batch.items():
+            if key == "name":
+                continue
+            np.testing.assert_array_equal(np.asarray(val[row]), ref[key])
+
+
+def test_device_loader_augments_rows(tmp_path):
+    """AUG_RATIO=1.0: every row in the batch is an augmented repack, not the
+    cached clean row."""
+    import dataclasses
+
+    from plankassembly_tpu.config import Config
+    from plankassembly_tpu.data import LineDataset
+    from plankassembly_tpu.data.device_loader import DeviceDataLoader
+
+    names = _write_infos(tmp_path)
+    cfg = Config()
+    cfg = dataclasses.replace(
+        cfg, DATA=dataclasses.replace(cfg.DATA, AUG_RATIO=1.0,
+                                      NOISE_RATIO=0.5))
+    ds = LineDataset(str(tmp_path / "infos"), names, cfg, augmentation=True,
+                     rng=np.random.default_rng(0),
+                     cache_dir=str(tmp_path / "cache"))
+    clean = LineDataset(str(tmp_path / "infos"), names, cfg)
+    loader = DeviceDataLoader(ds, ds._cache, batch_size=2, seed=7)
+    batch = next(iter(loader))
+    name_to_i = {n.split(".")[0]: i for i, n in enumerate(names)}
+    for row, name in enumerate(batch["name"]):
+        ref = clean[name_to_i[name]]
+        assert not np.array_equal(np.asarray(batch["input_value"][row]),
+                                  ref["input_value"])
+
+
+def test_device_loader_trainer_e2e(tmp_path):
+    """fit with trainer.device_data: loss finite, steps advance, epochs
+    re-shuffle."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from plankassembly_tpu.config import Config
+    from plankassembly_tpu.train.loop import Trainer
+    from tests.tiny import tiny_config
+
+    names = _write_infos(tmp_path, n=4)
+    with open(tmp_path / "split.txt", "w") as f:
+        f.write("".join(f"{n}\n" for n in names))
+    cfg = tiny_config()
+    cfg = dataclasses.replace(
+        cfg, ROOT=str(tmp_path / "infos"),
+        DATASETS_TRAIN=str(tmp_path / "split.txt"),
+        DATASETS_VALID=str(tmp_path / "split.txt"),
+        DATASETS_TEST=str(tmp_path / "split.txt"),
+        BATCH_SIZE=2,
+        DATA=dataclasses.replace(cfg.DATA, MAX_INPUT_LENGTH=1200,
+                                 MAX_OUTPUT_LENGTH=48, AUG_RATIO=0.5),
+        trainer=dataclasses.replace(cfg.trainer, devices=1, max_epochs=2,
+                                    check_val_every_n_epoch=100,
+                                    device_data=True, log_every_n_steps=1,
+                                    default_root_dir=str(tmp_path / "logs")))
+    trainer = Trainer(cfg, compute_dtype=jnp.float32)
+    state = trainer.fit()
+    assert int(state.step) == 4  # 2 epochs x 2 steps (drop_last)
