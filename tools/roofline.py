@@ -17,8 +17,6 @@ import argparse
 import json
 import time
 
-import numpy as np
-
 # v5e peaks (public spec): 197 bf16 TFLOP/s, 819 GB/s HBM BW
 PEAKS = {"tpu": {"flops": 197e12, "bytes": 819e9},
          "cpu": {"flops": 1e11, "bytes": 2e10}}  # rough, for smoke runs
