@@ -106,14 +106,39 @@ class DeviceDataLoader:
         return aug, pos
 
     def __iter__(self):
-        order = self.rng.permutation(len(self.names))
-        for start in range(0, len(order), self.batch_size):
-            idx = order[start:start + self.batch_size]
-            if len(idx) < self.batch_size:
-                return  # drop_last
-            aug, pos = self._aug_rows(idx)
+        # one-deep producer thread: the host side (aug-row JSON+packing)
+        # overlaps device compute, as in DataLoader's prefetch
+        import queue
+        import threading
+
+        q: queue.Queue = queue.Queue(maxsize=2)
+        sentinel = object()
+
+        def producer():
+            try:
+                order = self.rng.permutation(len(self.names))
+                for start in range(0, len(order), self.batch_size):
+                    idx = order[start:start + self.batch_size]
+                    if len(idx) < self.batch_size:
+                        break  # drop_last
+                    q.put((idx, *self._aug_rows(idx)))
+                q.put(sentinel)
+            except BaseException as exc:  # noqa: BLE001
+                q.put(exc)
+
+        thread = threading.Thread(target=producer, daemon=True)
+        thread.start()
+        while True:
+            item = q.get()
+            if item is sentinel:
+                break
+            if isinstance(item, BaseException):
+                thread.join()
+                raise item
+            idx, aug, pos = item
             batch = _assemble(self.fields, jnp.asarray(idx, jnp.int32),
                               {k: jnp.asarray(v) for k, v in aug.items()},
                               jnp.asarray(pos), sharding=self.sharding)
             batch["name"] = [self.names[i] for i in idx]
             yield batch
+        thread.join()
