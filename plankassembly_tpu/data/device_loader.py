@@ -136,9 +136,19 @@ class DeviceDataLoader:
                 thread.join()
                 raise item
             idx, aug, pos = item
-            batch = _assemble(self.fields, jnp.asarray(idx, jnp.int32),
-                              {k: jnp.asarray(v) for k, v in aug.items()},
-                              jnp.asarray(pos), sharding=self.sharding)
-            batch["name"] = [self.names[i] for i in idx]
-            yield batch
+            yield {
+                "_idx": jnp.asarray(idx, jnp.int32),
+                "_aug": {k: jnp.asarray(v) for k, v in aug.items()},
+                "_pos": jnp.asarray(pos),
+                "name": [self.names[i] for i in idx],
+            }
         thread.join()
+
+    def materialize(self, batch: dict) -> dict:
+        """Assemble a yielded raw batch into device arrays (tests / non-fused
+        consumers; the training loop fuses assembly into its step instead —
+        `train.state.make_device_train_step`)."""
+        out = _assemble(self.fields, batch["_idx"], batch["_aug"],
+                        batch["_pos"], sharding=self.sharding)
+        out["name"] = batch["name"]
+        return out

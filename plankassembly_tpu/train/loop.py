@@ -133,9 +133,12 @@ class Trainer:
         self.optimizer = make_optimizer(cfg.LR)
         use_flash = (tc.fused_attention
                      and jax.default_backend() == "tpu")
+        # shared step construction args — the fused device-data step
+        # (make_device_train_step) is built from the same set in fit()
+        self._step_kwargs = dict(compute_dtype=compute_dtype,
+                                 flash=use_flash)
         self.train_step_fn = make_train_step(
-            self.optimizer, self.dims, compute_dtype=compute_dtype,
-            flash=use_flash)
+            self.optimizer, self.dims, **self._step_kwargs)
         self.criterion = build_criterion()
         self._rng = jax.random.PRNGKey(cfg.seed_everything)
 
@@ -240,13 +243,27 @@ class Trainer:
         from plankassembly_tpu.utils.profiling import StepTimer
         timer = StepTimer()
 
+        device_step = None
         with self.mesh:
             for epoch in range(max_epochs):
                 for batch in loader:
-                    arrays = {k: v for k, v in batch.items()
-                              if hasattr(v, "shape")}
                     self._rng, sub = jax.random.split(self._rng)
-                    state, mets = self.train_step_fn(state, arrays, sub)
+                    if "_idx" in batch:
+                        # device-resident data: assembly fused into the step
+                        if device_step is None:
+                            from plankassembly_tpu.train.state import (
+                                make_device_train_step,
+                            )
+                            device_step = make_device_train_step(
+                                self.optimizer, self.dims,
+                                **self._step_kwargs)
+                        state, mets = device_step(
+                            state, loader.fields, batch["_idx"],
+                            batch["_aug"], batch["_pos"], sub)
+                    else:
+                        arrays = {k: v for k, v in batch.items()
+                                  if hasattr(v, "shape")}
+                        state, mets = self.train_step_fn(state, arrays, sub)
                     timer.tick(mets["loss"])
                     step = int(state.step)
                     if step % cfg.trainer.log_every_n_steps == 0:

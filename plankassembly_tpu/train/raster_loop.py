@@ -34,11 +34,13 @@ class RasterTrainer(Trainer):
             patch_size=patch_size or cfg.DATA.PATCH_SIZE)
         use_flash = (cfg.trainer.fused_attention
                      and jax.default_backend() == "tpu")
-        # rebind with the raster loss
-        self.train_step_fn = make_train_step(
-            self.optimizer, self.dims, compute_dtype=compute_dtype,
-            flash=use_flash,
+        # rebind with the raster loss (also picked up by the fused
+        # device-data step via _step_kwargs)
+        self._step_kwargs = dict(
+            compute_dtype=compute_dtype, flash=use_flash,
             loss_impl=partial(train_step_loss_raster, vit=self.vit))
+        self.train_step_fn = make_train_step(
+            self.optimizer, self.dims, **self._step_kwargs)
 
     def _dataset(self, split_files: str, augmentation: bool):
         import os

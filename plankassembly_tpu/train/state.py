@@ -58,3 +58,38 @@ def make_train_step(optimizer, dims: ModelDims, compute_dtype=jnp.bfloat16,
         return TrainState(params, opt_state, state.step + 1), mets
 
     return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+def make_device_train_step(optimizer, dims: ModelDims,
+                           compute_dtype=jnp.bfloat16, donate: bool = True,
+                           flash: bool = False, loss_impl=None):
+    """Training step fused with on-device batch assembly (device-resident
+    data, `data/device_loader.py`): one dispatch per step does
+    gather(fields, idx) -> scatter(aug rows) -> loss/grads/Adam.
+
+    The returned fn takes (state, fields, idx, aug, pos, rng). `fields` is
+    the HBM-resident packed split, passed as an ARGUMENT every call — never
+    close over it, or the arrays bake into the executable as constants.
+    `pos` entries equal to the batch size mean "no augmented row" (dropped
+    by the scatter's out-of-bounds mode)."""
+    loss_impl = loss_impl or train_step_loss
+
+    def step(state: TrainState, fields, idx, aug, pos, rng):
+        batch = {}
+        for key, store in fields.items():
+            gathered = store[idx]
+            batch[key] = gathered.at[pos].set(aug[key], mode="drop")
+
+        def loss_fn(params):
+            return loss_impl(params, batch, dims, rng=rng,
+                             deterministic=False,
+                             compute_dtype=compute_dtype, flash=flash)
+
+        (loss, mets), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params)
+        updates, opt_state = optimizer.update(grads, state.opt_state,
+                                              state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params, opt_state, state.step + 1), mets
+
+    return jax.jit(step, donate_argnums=(0,) if donate else ())

@@ -185,7 +185,7 @@ def test_device_loader_matches_host_rows(tmp_path):
     ds = LineDataset(str(tmp_path / "infos"), names, cfg,
                      cache_dir=str(tmp_path / "cache"))
     loader = DeviceDataLoader(ds, ds._cache, batch_size=2, seed=7)
-    batch = next(iter(loader))
+    batch = loader.materialize(next(iter(loader)))
     assert len(batch["name"]) == 2
     name_to_i = {n.split(".")[0]: i for i, n in enumerate(names)}
     for row, name in enumerate(batch["name"]):
@@ -215,7 +215,7 @@ def test_device_loader_augments_rows(tmp_path):
                      cache_dir=str(tmp_path / "cache"))
     clean = LineDataset(str(tmp_path / "infos"), names, cfg)
     loader = DeviceDataLoader(ds, ds._cache, batch_size=2, seed=7)
-    batch = next(iter(loader))
+    batch = loader.materialize(next(iter(loader)))
     name_to_i = {n.split(".")[0]: i for i, n in enumerate(names)}
     for row, name in enumerate(batch["name"]):
         ref = clean[name_to_i[name]]
