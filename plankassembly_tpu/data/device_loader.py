@@ -3,11 +3,14 @@ assemble on device from an index vector.
 
 The token datasets are small by accelerator standards (26k samples x ~13 KB
 packed = ~350 MB as int16), so the TPU-native layout is to park the WHOLE
-split in HBM once and make each training step's host->device traffic just
+split in HBM once and make each training step's host->device traffic ONE
+flat int16 buffer
 
-    idx (B,) int32  +  the handful of freshly-augmented rows (~AUG_RATIO*B)
+    [idx (B,) int32 as int16 pairs | aug positions (K,) | K freshly-
+     augmented rows (K = max_aug_rows, ~AUG_RATIO*B in expectation)]
 
-instead of re-shipping ~1 MB of packed tokens every step. That removes the
+instead of re-shipping ~1 MB of packed tokens every step (and instead of
+~11 separate small puts, each paying a transport round trip). That removes the
 host from the steady-state loop (no JSON, no packing, no big transfers —
 also sidestepping this container's remote-TPU transfer leak, CLAUDE.md) and
 makes epochs device-bound.
@@ -24,6 +27,7 @@ Single-process only — multi-host falls back to the standard loader.
 """
 from __future__ import annotations
 
+import math
 import os
 from functools import partial
 
@@ -31,6 +35,7 @@ import numpy as np
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 
 from plankassembly_tpu.data.loader import DataLoader
 
@@ -41,6 +46,42 @@ def _narrow(key: str, value: np.ndarray) -> np.ndarray:
     if value.dtype == np.int64:
         return value.astype(np.int32)
     return value
+
+
+def _field_i16_elems(shape: tuple, dtype: str) -> int:
+    """int16 elements one aug row of this field occupies in the flat buffer
+    (bool widens to 1 int16; wider dtypes split into itemsize/2 int16s)."""
+    n = math.prod(shape)
+    itemsize = np.dtype(dtype).itemsize
+    return n if itemsize == 1 else n * (itemsize // 2)
+
+
+def unpack_flat(buf, layout, batch_size: int, max_aug_rows: int):
+    """Invert the producer's single-buffer packing (jit-safe, static slices).
+
+    Buffer layout (int16): [idx as int16 pairs (2B)] [pos (K)] [per-field aug
+    rows, row-major]. Returns (idx int32 (B,), pos int32 (K,), aug dict with
+    each field restored to its resident-store dtype/shape).
+    """
+    B, K = batch_size, max_aug_rows
+    idx = lax.bitcast_convert_type(buf[: 2 * B].reshape(B, 2), jnp.int32)
+    pos = buf[2 * B: 2 * B + K].astype(jnp.int32)
+    off = 2 * B + K
+    aug = {}
+    for key, shape, dtype in layout:
+        n = _field_i16_elems(shape, dtype)
+        seg = buf[off: off + n * K]
+        off += n * K
+        itemsize = np.dtype(dtype).itemsize
+        if itemsize == 1:
+            aug[key] = seg.reshape((K, *shape)).astype(jnp.dtype(dtype))
+        elif itemsize == 2:
+            aug[key] = lax.bitcast_convert_type(
+                seg.reshape((K, *shape)), jnp.dtype(dtype))
+        else:
+            pairs = seg.reshape((K, *shape, itemsize // 2))
+            aug[key] = lax.bitcast_convert_type(pairs, jnp.dtype(dtype))
+    return idx, pos, aug
 
 
 @partial(jax.jit, static_argnames=("sharding",), donate_argnums=())
@@ -81,6 +122,15 @@ class DeviceDataLoader:
             self.fields[key] = jax.device_put(host)
         self.aug_ratio = (dataset.cfg.DATA.AUG_RATIO
                           if dataset.augmentation else 0.0)
+        # static flat-buffer layout: ONE int16 host->device transfer per
+        # step instead of ~11 small ones (idx + pos + 9 aug fields) — on the
+        # tunnel transport each small put pays a round trip (CLAUDE.md open
+        # thread); hashable so it can be a jit static arg
+        self.layout = tuple(
+            (key, tuple(store.shape[1:]), str(store.dtype))
+            for key, store in self.fields.items())
+        self._buf_elems = 2 * batch_size + max_aug_rows + max_aug_rows * sum(
+            _field_i16_elems(shape, dtype) for _, shape, dtype in self.layout)
 
     def __len__(self) -> int:
         return len(self.names) // self.batch_size  # drop_last
@@ -105,6 +155,25 @@ class DeviceDataLoader:
             aug[key] = rows
         return aug, pos
 
+    def _flat(self, idx: np.ndarray, aug: dict, pos: np.ndarray) -> np.ndarray:
+        """Pack idx + pos + aug rows into one contiguous int16 buffer
+        (inverse of `unpack_flat`)."""
+        buf = np.empty((self._buf_elems,), np.int16)
+        B, K = self.batch_size, self.max_aug_rows
+        buf[: 2 * B] = idx.astype(np.int32).view(np.int16)
+        buf[2 * B: 2 * B + K] = pos.astype(np.int16)  # pos <= batch_size
+        off = 2 * B + K
+        for key, shape, dtype in self.layout:
+            n = _field_i16_elems(shape, dtype) * K
+            rows = aug[key]
+            if rows.dtype.itemsize == 1:
+                seg = rows.astype(np.int16).ravel()
+            else:
+                seg = np.ascontiguousarray(rows).view(np.int16).ravel()
+            buf[off: off + n] = seg
+            off += n
+        return buf
+
     def __iter__(self):
         # one-deep producer thread: the host side (aug-row JSON+packing)
         # overlaps device compute, as in DataLoader's prefetch
@@ -121,7 +190,8 @@ class DeviceDataLoader:
                     idx = order[start:start + self.batch_size]
                     if len(idx) < self.batch_size:
                         break  # drop_last
-                    q.put((idx, *self._aug_rows(idx)))
+                    aug, pos = self._aug_rows(idx)
+                    q.put((idx, self._flat(idx, aug, pos)))
                 q.put(sentinel)
             except BaseException as exc:  # noqa: BLE001
                 q.put(exc)
@@ -135,20 +205,19 @@ class DeviceDataLoader:
             if isinstance(item, BaseException):
                 thread.join()
                 raise item
-            idx, aug, pos = item
+            idx, buf = item
             yield {
-                "_idx": jnp.asarray(idx, jnp.int32),
-                "_aug": {k: jnp.asarray(v) for k, v in aug.items()},
-                "_pos": jnp.asarray(pos),
+                "_buf": jnp.asarray(buf),
                 "name": [self.names[i] for i in idx],
             }
         thread.join()
 
     def materialize(self, batch: dict) -> dict:
         """Assemble a yielded raw batch into device arrays (tests / non-fused
-        consumers; the training loop fuses assembly into its step instead —
-        `train.state.make_device_train_step`)."""
-        out = _assemble(self.fields, batch["_idx"], batch["_aug"],
-                        batch["_pos"], sharding=self.sharding)
+        consumers; the training loop fuses unpack+assembly into its step
+        instead — `train.state.make_packed_device_train_step`)."""
+        idx, pos, aug = unpack_flat(batch["_buf"], self.layout,
+                                    self.batch_size, self.max_aug_rows)
+        out = _assemble(self.fields, idx, aug, pos, sharding=self.sharding)
         out["name"] = batch["name"]
         return out

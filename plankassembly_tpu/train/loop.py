@@ -248,18 +248,19 @@ class Trainer:
             for epoch in range(max_epochs):
                 for batch in loader:
                     self._rng, sub = jax.random.split(self._rng)
-                    if "_idx" in batch:
-                        # device-resident data: assembly fused into the step
+                    if "_buf" in batch:
+                        # device-resident data: the step unpacks the single
+                        # flat transfer buffer and fuses batch assembly
                         if device_step is None:
                             from plankassembly_tpu.train.state import (
-                                make_device_train_step,
+                                make_packed_device_train_step,
                             )
-                            device_step = make_device_train_step(
-                                self.optimizer, self.dims,
+                            device_step = make_packed_device_train_step(
+                                self.optimizer, self.dims, loader.layout,
+                                loader.batch_size, loader.max_aug_rows,
                                 **self._step_kwargs)
                         state, mets = device_step(
-                            state, loader.fields, batch["_idx"],
-                            batch["_aug"], batch["_pos"], sub)
+                            state, loader.fields, batch["_buf"], sub)
                     else:
                         arrays = {k: v for k, v in batch.items()
                                   if hasattr(v, "shape")}

@@ -93,3 +93,37 @@ def make_device_train_step(optimizer, dims: ModelDims,
         return TrainState(params, opt_state, state.step + 1), mets
 
     return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+def make_packed_device_train_step(optimizer, dims: ModelDims, layout,
+                                  batch_size: int, max_aug_rows: int,
+                                  compute_dtype=jnp.bfloat16,
+                                  donate: bool = True, flash: bool = False,
+                                  loss_impl=None):
+    """`make_device_train_step` taking the loader's single flat int16 buffer
+    (`data/device_loader.py`): the whole step's host->device traffic is ONE
+    transfer; idx/pos/aug unpack with static slices inside the program."""
+    from plankassembly_tpu.data.device_loader import unpack_flat
+
+    loss_impl = loss_impl or train_step_loss
+
+    def step(state: TrainState, fields, buf, rng):
+        idx, pos, aug = unpack_flat(buf, layout, batch_size, max_aug_rows)
+        batch = {}
+        for key, store in fields.items():
+            gathered = store[idx]
+            batch[key] = gathered.at[pos].set(aug[key], mode="drop")
+
+        def loss_fn(params):
+            return loss_impl(params, batch, dims, rng=rng,
+                             deterministic=False,
+                             compute_dtype=compute_dtype, flash=flash)
+
+        (loss, mets), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params)
+        updates, opt_state = optimizer.update(grads, state.opt_state,
+                                              state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params, opt_state, state.step + 1), mets
+
+    return jax.jit(step, donate_argnums=(0,) if donate else ())

@@ -253,3 +253,41 @@ def test_device_loader_trainer_e2e(tmp_path):
     trainer = Trainer(cfg, compute_dtype=jnp.float32)
     state = trainer.fit()
     assert int(state.step) == 4  # 2 epochs x 2 steps (drop_last)
+
+
+def test_flat_buffer_roundtrip_all_dtypes():
+    """`_flat` / `unpack_flat` invert each other for every supported field
+    dtype (int16 direct, bool widened, int32/float32 as int16 pairs)."""
+    import jax.numpy as jnp
+
+    from plankassembly_tpu.data.device_loader import (
+        DeviceDataLoader, unpack_flat)
+
+    rng = np.random.default_rng(3)
+    B, K = 4, 3
+    aug = {
+        "tok": rng.integers(-500, 640, (K, 7)).astype(np.int16),
+        "mask": rng.random((K, 5)) < 0.5,
+        "wide": rng.integers(-(2**30), 2**30, (K, 2)).astype(np.int32),
+        "flt": rng.standard_normal((K, 3)).astype(np.float32),
+    }
+    idx = np.array([70000, 0, 25999, 3], np.int64)
+    pos = np.array([2, 0, B], np.int32)  # B == unused slot
+
+    loader = DeviceDataLoader.__new__(DeviceDataLoader)
+    loader.batch_size = B
+    loader.max_aug_rows = K
+    loader.layout = tuple(
+        (k, v.shape[1:], str(v.dtype)) for k, v in aug.items())
+    from plankassembly_tpu.data.device_loader import _field_i16_elems
+    loader._buf_elems = 2 * B + K + K * sum(
+        _field_i16_elems(s, d) for _, s, d in loader.layout)
+
+    buf = loader._flat(idx, aug, pos)
+    idx2, pos2, aug2 = unpack_flat(jnp.asarray(buf), loader.layout, B, K)
+    np.testing.assert_array_equal(np.asarray(idx2), idx)
+    np.testing.assert_array_equal(np.asarray(pos2), pos)
+    for k, v in aug.items():
+        got = np.asarray(aug2[k])
+        assert got.dtype == v.dtype
+        np.testing.assert_array_equal(got, v)
