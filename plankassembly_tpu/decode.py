@@ -98,13 +98,21 @@ def decode_from_memory(params, memory, memory_mask, dims: ModelDims,
     the token-input model and the raster/ViT variant (`models/vit.py`).
     memory (B, Li, D); memory_mask (B, Li) bool True = padded key.
 
-    cross_impl: "kernel" (Pallas fused cross-attention, the TPU fast path —
-    see `ops/cross_decode.py`), "xla" (einsum fallback, any backend),
-    "kernel-interpret" (Pallas interpret mode, for CPU parity tests), or
-    "auto" (kernel on TPU, xla elsewhere).
+    cross_impl: "mxu" (block-diagonal-query MXU einsums, the XLA fast
+    path), "fused" (whole-decoder-layer Pallas kernel, `ops/fused_decode.py`
+    — 6 kernel launches per step instead of ~170 HLO ops), "kernel" (Pallas
+    fused cross-attention only, `ops/cross_decode.py`), "xla" (einsum
+    fallback, any backend), "fused-interpret"/"kernel-interpret" (Pallas
+    interpret mode, for CPU parity tests), or "auto" (mxu on TPU, xla
+    elsewhere).
     """
     if cross_impl == "auto":
         cross_impl = "mxu" if jax.default_backend() == "tpu" else "xla"
+    if cross_impl in ("fused", "fused-interpret"):
+        return _decode_fused(params, memory, memory_mask, dims,
+                             compute_dtype=compute_dtype,
+                             early_exit=early_exit,
+                             interpret=(cross_impl == "fused-interpret"))
     use_kernel = cross_impl in ("kernel", "kernel-interpret")
     use_mxu = cross_impl == "mxu"
 
@@ -386,38 +394,8 @@ def decode_from_memory(params, memory, memory_mask, dims: ModelDims,
         h_cache = jax.lax.dynamic_update_slice(
             h_cache, h_t[:, None].astype(h_cache.dtype), (0, t, 0))
 
-        # --- mixed vocab ‖ pointer distribution (`models.py:168-186`) ---
-        vocab_logits = h_t @ heads["vocab"]["w"] + heads["vocab"]["b"]
-        vocab_probs = jax.nn.softmax(vocab_logits, axis=-1)
-
-        feature = h_t @ heads["pointer"]["w"] + heads["pointer"]["b"]
-        pointer_logits = jnp.einsum("bd,bsd->bs", feature, h_cache)
-        pointer_logits = pointer_logits / dims.num_model
-        prob = jax.nn.sigmoid(h_t @ heads["switch"]["w"] + heads["switch"]["b"])
-
-        triu_bias = jnp.where(pos >= t, NEG_INF, 0.0)[None, :]
-        pointer_probs = jax.nn.softmax(pointer_logits + triu_bias, axis=-1) * prob
-        struct_row = struct[t]  # (S,)
-        pointer_probs = jnp.where(struct_row[None, :] == 0, EPS, pointer_probs)
-        # restrict candidates to j <= t (the reference dist is only t+1 wide)
-        pointer_probs = jnp.where(pos[None, :] > t, -1.0, pointer_probs)
-
-        mixed = jnp.concatenate([vocab_probs * (1 - prob), pointer_probs], axis=-1)
-        mixed_idx = jnp.argmax(mixed, axis=-1)
-        vocab_idx = jnp.argmax(vocab_logits, axis=-1)
-
-        # `if sz < 6: return vocab_dists` (`models.py:172-173`)
-        idx = jnp.where(t + 1 < dof, vocab_idx, mixed_idx).astype(jnp.int32)
-
-        is_ptr = idx >= dims.vocab_size
-        ptr = jnp.clip(idx - dims.vocab_size, 0, S - 1)
-        copied = jnp.take_along_axis(output, ptr[:, None], axis=1)[:, 0]
-        token = jnp.where(is_ptr, copied, idx)
-        attach_t = jnp.where(is_ptr, ptr, -1)
-
-        output = output.at[:, t].set(token)
-        attach = attach.at[:, t].set(attach_t)
-        done = done | (token == dims.end)
+        output, attach, done = _mixed_sample(
+            heads, dims, struct, pos, h_t, h_cache, output, attach, done, t)
         return (t + 1, output, attach, done, k_cache, v_cache,
                 ks_cache, vs_cache, h_cache)
 
@@ -429,6 +407,168 @@ def decode_from_memory(params, memory, memory_mask, dims: ModelDims,
 
     init = (jnp.array(0, jnp.int32), output0, attach0, done0,
             k_cache0, v_cache0, ks_cache0, vs_cache0, h_cache0)
+    t, output, attach, done, *_ = jax.lax.while_loop(cond, step, init)
+
+    return {"samples": output, "attach": attach, "num_steps": t}
+
+
+def _mixed_sample(heads, dims: ModelDims, struct, pos, h_t, h_cache,
+                  output, attach, done, t):
+    """Shared sampling tail: mixed vocab ‖ pointer ‖ switch distribution and
+    greedy pointer-resolving argmax (`models.py:168-186,235-256`), including
+    the reference quirks (eps-fill of structurally illegal pointer slots,
+    plain-vocab argmax for the first plank's 6 coords)."""
+    S = dims.max_output_length
+    dof = dims.num_output_dof
+
+    vocab_logits = h_t @ heads["vocab"]["w"] + heads["vocab"]["b"]
+    vocab_probs = jax.nn.softmax(vocab_logits, axis=-1)
+
+    feature = h_t @ heads["pointer"]["w"] + heads["pointer"]["b"]
+    pointer_logits = jnp.einsum("bd,bsd->bs", feature, h_cache)
+    pointer_logits = pointer_logits / dims.num_model
+    prob = jax.nn.sigmoid(h_t @ heads["switch"]["w"] + heads["switch"]["b"])
+
+    triu_bias = jnp.where(pos >= t, NEG_INF, 0.0)[None, :]
+    pointer_probs = jax.nn.softmax(pointer_logits + triu_bias, axis=-1) * prob
+    struct_row = struct[t]  # (S,)
+    pointer_probs = jnp.where(struct_row[None, :] == 0, EPS, pointer_probs)
+    # restrict candidates to j <= t (the reference dist is only t+1 wide)
+    pointer_probs = jnp.where(pos[None, :] > t, -1.0, pointer_probs)
+
+    mixed = jnp.concatenate([vocab_probs * (1 - prob), pointer_probs], axis=-1)
+    mixed_idx = jnp.argmax(mixed, axis=-1)
+    vocab_idx = jnp.argmax(vocab_logits, axis=-1)
+
+    # `if sz < 6: return vocab_dists` (`models.py:172-173`)
+    idx = jnp.where(t + 1 < dof, vocab_idx, mixed_idx).astype(jnp.int32)
+
+    is_ptr = idx >= dims.vocab_size
+    ptr = jnp.clip(idx - dims.vocab_size, 0, S - 1)
+    copied = jnp.take_along_axis(output, ptr[:, None], axis=1)[:, 0]
+    token = jnp.where(is_ptr, copied, idx)
+    attach_t = jnp.where(is_ptr, ptr, -1)
+
+    output = output.at[:, t].set(token)
+    attach = attach.at[:, t].set(attach_t)
+    done = done | (token == dims.end)
+    return output, attach, done
+
+
+def _decode_fused(params, memory, memory_mask, dims: ModelDims,
+                  compute_dtype=jnp.bfloat16, early_exit=True,
+                  interpret=False):
+    """Decode loop built on the fused decoder-layer Pallas kernel
+    (`ops/fused_decode.py`): each step is 6 kernel launches + the sampling
+    tail instead of ~170 small HLO ops. Implies int8 K/V caches (self and
+    cross) — the kernel's only storage format. Numerics match the
+    `cross_impl="mxu", kv_quant=True` path up to f32-accumulation order.
+    """
+    from plankassembly_tpu.ops.cross_decode import quantize_rows
+    from plankassembly_tpu.ops.fused_decode import fused_decoder_layer
+
+    cd = compute_dtype
+    S = dims.max_output_length
+    H, Dh, D = dims.num_head, dims.head_dim, dims.num_model
+    kvH = dims.kv_heads
+    Dkv = kvH * Dh
+    L = dims.num_decoder_layers
+    dof = dims.num_output_dof
+    B, Li = memory.shape[0], memory.shape[1]
+
+    cross_k, cross_v = precompute_cross_kv(params, memory, dims, cd)
+    k4q, ck_s = quantize_rows(cross_k, axes=(2, 4))   # (L,B,Li,kvH,Dh) int8
+    v4q, cv_s = quantize_rows(cross_v, axes=(2, 4))
+    # per-layer python lists (NOT a stacked carry: leading-axis slices inside
+    # the loop body would materialize 33+ MB copies per step)
+    ck_l = [k4q[l].reshape(B, Li, Dkv).transpose(0, 2, 1) for l in range(L)]
+    cv_l = [v4q[l].reshape(B, Li, Dkv) for l in range(L)]
+    cks_l = [ck_s[l].reshape(B, kvH) for l in range(L)]
+    cvs_l = [cv_s[l].reshape(B, kvH) for l in range(L)]
+    cbias = jnp.where(memory_mask, NEG_INF, 0.0).astype(jnp.float32)
+
+    dec = params["decoder"]
+    heads = params["heads"]
+
+    def _layer(tree, l):
+        return jax.tree.map(lambda a: a[l], tree)
+
+    sa_l = [_layer(dec["self_attn"], l) for l in range(L)]
+    ca_l = [_layer(dec["cross_attn"], l) for l in range(L)]
+    ffn_l = [_layer(dec["ffn"], l) for l in range(L)]
+    wqkv_l = [jnp.concatenate([p["wq"], p["wk"], p["wv"]], axis=1).astype(cd)
+              for p in sa_l]
+    bqkv_l = [jnp.concatenate([p["bq"], p["bk"], p["bv"]]) for p in sa_l]
+    ln_l = [jnp.stack([_layer(dec["norm1"], l)["scale"],
+                       _layer(dec["norm1"], l)["bias"],
+                       _layer(dec["norm2"], l)["scale"],
+                       _layer(dec["norm2"], l)["bias"],
+                       _layer(dec["norm3"], l)["scale"],
+                       _layer(dec["norm3"], l)["bias"]])
+            for l in range(L)]
+
+    struct = jnp.asarray(pointer_structure_mask(dims))  # (S, S) {0,1}
+    scale = 1.0 / math.sqrt(Dh)
+    pos = jnp.arange(S)
+    emb = params["embed"]
+
+    k_caches0 = tuple(jnp.zeros((B, S, Dkv), jnp.int8) for _ in range(L))
+    v_caches0 = tuple(jnp.zeros((B, S, Dkv), jnp.int8) for _ in range(L))
+    ks_caches0 = tuple(jnp.zeros((B, S, kvH), jnp.float32) for _ in range(L))
+    vs_caches0 = tuple(jnp.zeros((B, S, kvH), jnp.float32) for _ in range(L))
+    h_cache0 = jnp.zeros((B, S, D), cd)
+    output0 = jnp.zeros((B, S), jnp.int32)
+    attach0 = jnp.full((B, S), -1, jnp.int32)
+    done0 = jnp.zeros((B,), bool)
+
+    def step(carry):
+        (t, output, attach, done, k_caches, v_caches, ks_caches, vs_caches,
+         h_cache) = carry
+
+        prev = output[:, jnp.maximum(t - 1, 0)]
+        tok_embed = (emb["value"][prev]
+                     + emb["coord_out"][(t - 1) % dof][None, :]
+                     + emb["pos_out"][(t - 1) // dof][None, :])
+        x = jnp.where(t == 0, 0.0, tok_embed)  # (B, D) f32
+
+        k_caches, v_caches = list(k_caches), list(v_caches)
+        ks_caches, vs_caches = list(ks_caches), list(vs_caches)
+        for l in range(L):
+            sa, ca, f = sa_l[l], ca_l[l], ffn_l[l]
+            x, nk, nv, nks, nvs = fused_decoder_layer(
+                x, t, wqkv_l[l], bqkv_l[l], sa["wo"], sa["bo"],
+                ca["wq"], ca["bq"], ca["wo"], ca["bo"],
+                f["w1"], f["b1"], f["w2"], f["b2"], ln_l[l],
+                k_caches[l], v_caches[l], ks_caches[l], vs_caches[l],
+                ck_l[l], cv_l[l], cks_l[l], cvs_l[l], cbias,
+                H=H, kvH=kvH, Dh=Dh, sm_scale=scale, cd=cd,
+                interpret=interpret)
+            k_caches[l] = jax.lax.dynamic_update_slice(
+                k_caches[l], nk[:, None, :], (0, t, 0))
+            v_caches[l] = jax.lax.dynamic_update_slice(
+                v_caches[l], nv[:, None, :], (0, t, 0))
+            ks_caches[l] = jax.lax.dynamic_update_slice(
+                ks_caches[l], nks[:, None, :], (0, t, 0))
+            vs_caches[l] = jax.lax.dynamic_update_slice(
+                vs_caches[l], nvs[:, None, :], (0, t, 0))
+
+        h_t = layer_norm(dec["final_norm"], x).astype(jnp.float32)  # (B, D)
+        h_cache = jax.lax.dynamic_update_slice(
+            h_cache, h_t[:, None].astype(h_cache.dtype), (0, t, 0))
+
+        output, attach, done = _mixed_sample(
+            heads, dims, struct, pos, h_t, h_cache, output, attach, done, t)
+        return (t + 1, output, attach, done, tuple(k_caches),
+                tuple(v_caches), tuple(ks_caches), tuple(vs_caches), h_cache)
+
+    def cond(carry):
+        t, _, _, done, *_ = carry
+        if not early_exit:  # benchmark mode: force the full static bound
+            return t < S
+        return (t < S) & ~jnp.all(done)
+
+    init = (jnp.array(0, jnp.int32), output0, attach0, done0,
+            k_caches0, v_caches0, ks_caches0, vs_caches0, h_cache0)
     t, output, attach, done, *_ = jax.lax.while_loop(cond, step, init)
 
     return {"samples": output, "attach": attach, "num_steps": t}
