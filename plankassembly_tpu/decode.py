@@ -461,7 +461,9 @@ def _decode_fused(params, memory, memory_mask, dims: ModelDims,
     """Decode loop built on the fused decoder-layer Pallas kernel
     (`ops/fused_decode.py`): each step is 6 kernel launches + the sampling
     tail instead of ~170 small HLO ops. Implies int8 K/V caches (self and
-    cross) — the kernel's only storage format. Numerics match the
+    cross) — the kernel's only storage format — and MHA (kvH == H; the
+    kernel's 128-lane head-pair layout; GQA decode uses the mxu path,
+    already H/kvH lighter on HBM by construction). Numerics match the
     `cross_impl="mxu", kv_quant=True` path up to f32-accumulation order.
     """
     from plankassembly_tpu.ops.cross_decode import quantize_rows
@@ -471,21 +473,37 @@ def _decode_fused(params, memory, memory_mask, dims: ModelDims,
     S = dims.max_output_length
     H, Dh, D = dims.num_head, dims.head_dim, dims.num_model
     kvH = dims.kv_heads
-    Dkv = kvH * Dh
+    if kvH != H or H % 2:
+        raise ValueError(
+            "cross_impl='fused' requires MHA with an even head count "
+            f"(H={H}, kvH={kvH}); use cross_impl='mxu' for GQA/MQA")
     L = dims.num_decoder_layers
     dof = dims.num_output_dof
     B, Li = memory.shape[0], memory.shape[1]
 
+    P = H // 2
+    W = 2 * Dh
+    CH = min(128, Li)
+    if Li % CH:
+        raise ValueError(f"fused decode needs Li % {CH} == 0, got {Li}")
+    NCH = Li // CH
+
     cross_k, cross_v = precompute_cross_kv(params, memory, dims, cd)
-    k4q, ck_s = quantize_rows(cross_k, axes=(2, 4))   # (L,B,Li,kvH,Dh) int8
+    k4q, ck_s = quantize_rows(cross_k, axes=(2, 4))   # (L,B,Li,H,Dh) int8
     v4q, cv_s = quantize_rows(cross_v, axes=(2, 4))
+
+    def _pairmajor(a):  # (B, Li, H, Dh) -> (B, P, NCH, CH, W)
+        return (a.reshape(B, Li, P, W).transpose(0, 2, 1, 3)
+                .reshape(B, P, NCH, CH, W))
     # per-layer python lists (NOT a stacked carry: leading-axis slices inside
-    # the loop body would materialize 33+ MB copies per step)
-    ck_l = [k4q[l].reshape(B, Li, Dkv).transpose(0, 2, 1) for l in range(L)]
-    cv_l = [v4q[l].reshape(B, Li, Dkv) for l in range(L)]
-    cks_l = [ck_s[l].reshape(B, kvH) for l in range(L)]
-    cvs_l = [cv_s[l].reshape(B, kvH) for l in range(L)]
-    cbias = jnp.where(memory_mask, NEG_INF, 0.0).astype(jnp.float32)
+    # the loop body would materialize 33+ MB copies per step); pair-major
+    # chunked layout per the kernel's 128-lane alignment rules
+    ck_l = [_pairmajor(k4q[l]) for l in range(L)]
+    cv_l = [_pairmajor(v4q[l]) for l in range(L)]
+    cks_l = [ck_s[l].reshape(B, H) for l in range(L)]
+    cvs_l = [cv_s[l].reshape(B, H) for l in range(L)]
+    cbias = (jnp.where(memory_mask, NEG_INF, 0.0).astype(jnp.float32)
+             .reshape(B, NCH, CH).transpose(1, 0, 2))  # (NCH, B, CH)
 
     dec = params["decoder"]
     heads = params["heads"]
@@ -512,10 +530,10 @@ def _decode_fused(params, memory, memory_mask, dims: ModelDims,
     pos = jnp.arange(S)
     emb = params["embed"]
 
-    k_caches0 = tuple(jnp.zeros((B, S, Dkv), jnp.int8) for _ in range(L))
-    v_caches0 = tuple(jnp.zeros((B, S, Dkv), jnp.int8) for _ in range(L))
-    ks_caches0 = tuple(jnp.zeros((B, S, kvH), jnp.float32) for _ in range(L))
-    vs_caches0 = tuple(jnp.zeros((B, S, kvH), jnp.float32) for _ in range(L))
+    k_caches0 = tuple(jnp.zeros((B, P, S, W), jnp.int8) for _ in range(L))
+    v_caches0 = tuple(jnp.zeros((B, P, S, W), jnp.int8) for _ in range(L))
+    ks_caches0 = tuple(jnp.zeros((H, B, S), jnp.float32) for _ in range(L))
+    vs_caches0 = tuple(jnp.zeros((H, B, S), jnp.float32) for _ in range(L))
     h_cache0 = jnp.zeros((B, S, D), cd)
     output0 = jnp.zeros((B, S), jnp.int32)
     attach0 = jnp.full((B, S), -1, jnp.int32)
@@ -541,16 +559,18 @@ def _decode_fused(params, memory, memory_mask, dims: ModelDims,
                 f["w1"], f["b1"], f["w2"], f["b2"], ln_l[l],
                 k_caches[l], v_caches[l], ks_caches[l], vs_caches[l],
                 ck_l[l], cv_l[l], cks_l[l], cvs_l[l], cbias,
-                H=H, kvH=kvH, Dh=Dh, sm_scale=scale, cd=cd,
+                H=H, Dh=Dh, sm_scale=scale, cd=cd,
                 interpret=interpret)
             k_caches[l] = jax.lax.dynamic_update_slice(
-                k_caches[l], nk[:, None, :], (0, t, 0))
+                k_caches[l], nk.transpose(1, 0, 2)[:, :, None, :],
+                (0, 0, t, 0))
             v_caches[l] = jax.lax.dynamic_update_slice(
-                v_caches[l], nv[:, None, :], (0, t, 0))
+                v_caches[l], nv.transpose(1, 0, 2)[:, :, None, :],
+                (0, 0, t, 0))
             ks_caches[l] = jax.lax.dynamic_update_slice(
-                ks_caches[l], nks[:, None, :], (0, t, 0))
+                ks_caches[l], nks.T[:, :, None], (0, 0, t))
             vs_caches[l] = jax.lax.dynamic_update_slice(
-                vs_caches[l], nvs[:, None, :], (0, t, 0))
+                vs_caches[l], nvs.T[:, :, None], (0, 0, t))
 
         h_t = layer_norm(dec["final_norm"], x).astype(jnp.float32)  # (B, D)
         h_cache = jax.lax.dynamic_update_slice(

@@ -51,9 +51,12 @@ def main():
     for impl in args.impls.split(","):
         kw = (dict(cross_impl="fused")
               if impl == "fused" else dict(cross_impl=impl, kv_quant=True))
-        fn = lambda: decode_from_memory(params, memory, mask, dims,
-                                        compute_dtype=jnp.bfloat16,
-                                        early_exit=False, **kw)
+        # decode_from_memory is not itself jitted: wrap it, or every timed
+        # call pays a full retrace+lower (~1.5 s)
+        jitted = jax.jit(lambda p, m, k: decode_from_memory(
+            p, m, k, dims, compute_dtype=jnp.bfloat16,
+            early_exit=False, **kw))
+        fn = lambda: jitted(params, memory, mask)
         t0 = time.perf_counter()
         out = fn()
         steps = int(np.asarray(out["num_steps"]))
