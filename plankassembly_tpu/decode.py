@@ -473,16 +473,14 @@ def _decode_fused(params, memory, memory_mask, dims: ModelDims,
     S = dims.max_output_length
     H, Dh, D = dims.num_head, dims.head_dim, dims.num_model
     kvH = dims.kv_heads
-    if kvH != H or H % 2:
+    if kvH != H:
         raise ValueError(
-            "cross_impl='fused' requires MHA with an even head count "
+            "cross_impl='fused' requires MHA "
             f"(H={H}, kvH={kvH}); use cross_impl='mxu' for GQA/MQA")
     L = dims.num_decoder_layers
     dof = dims.num_output_dof
     B, Li = memory.shape[0], memory.shape[1]
 
-    P = H // 2
-    W = 2 * Dh
     CH = min(128, Li)
     if Li % CH:
         raise ValueError(f"fused decode needs Li % {CH} == 0, got {Li}")
@@ -492,14 +490,13 @@ def _decode_fused(params, memory, memory_mask, dims: ModelDims,
     k4q, ck_s = quantize_rows(cross_k, axes=(2, 4))   # (L,B,Li,H,Dh) int8
     v4q, cv_s = quantize_rows(cross_v, axes=(2, 4))
 
-    def _pairmajor(a):  # (B, Li, H, Dh) -> (B, P, NCH, CH, W)
-        return (a.reshape(B, Li, P, W).transpose(0, 2, 1, 3)
-                .reshape(B, P, NCH, CH, W))
     # per-layer python lists (NOT a stacked carry: leading-axis slices inside
-    # the loop body would materialize 33+ MB copies per step); pair-major
-    # chunked layout per the kernel's 128-lane alignment rules
-    ck_l = [_pairmajor(k4q[l]) for l in range(L)]
-    cv_l = [_pairmajor(v4q[l]) for l in range(L)]
+    # the loop body would materialize 33+ MB copies per step); chunked
+    # contraction-major layouts per the kernel's alignment rules
+    ck_l = [k4q[l].reshape(B, Li, D).transpose(0, 2, 1)
+            .reshape(B, D, NCH, CH).transpose(0, 2, 1, 3)
+            for l in range(L)]                        # (B, NCH, D, CH)
+    cv_l = [v4q[l].reshape(B, NCH, CH, D) for l in range(L)]
     cks_l = [ck_s[l].reshape(B, H) for l in range(L)]
     cvs_l = [cv_s[l].reshape(B, H) for l in range(L)]
     cbias = (jnp.where(memory_mask, NEG_INF, 0.0).astype(jnp.float32)
@@ -530,10 +527,10 @@ def _decode_fused(params, memory, memory_mask, dims: ModelDims,
     pos = jnp.arange(S)
     emb = params["embed"]
 
-    k_caches0 = tuple(jnp.zeros((B, P, S, W), jnp.int8) for _ in range(L))
-    v_caches0 = tuple(jnp.zeros((B, P, S, W), jnp.int8) for _ in range(L))
-    ks_caches0 = tuple(jnp.zeros((H, B, S), jnp.float32) for _ in range(L))
-    vs_caches0 = tuple(jnp.zeros((H, B, S), jnp.float32) for _ in range(L))
+    k_caches0 = tuple(jnp.zeros((B, D, S), jnp.int8) for _ in range(L))
+    v_caches0 = tuple(jnp.zeros((B, S, D), jnp.int8) for _ in range(L))
+    ks_caches0 = tuple(jnp.zeros((B, H, S), jnp.float32) for _ in range(L))
+    vs_caches0 = tuple(jnp.zeros((B, H, S), jnp.float32) for _ in range(L))
     h_cache0 = jnp.zeros((B, S, D), cd)
     output0 = jnp.zeros((B, S), jnp.int32)
     attach0 = jnp.full((B, S), -1, jnp.int32)
@@ -562,15 +559,13 @@ def _decode_fused(params, memory, memory_mask, dims: ModelDims,
                 H=H, Dh=Dh, sm_scale=scale, cd=cd,
                 interpret=interpret)
             k_caches[l] = jax.lax.dynamic_update_slice(
-                k_caches[l], nk.transpose(1, 0, 2)[:, :, None, :],
-                (0, 0, t, 0))
+                k_caches[l], nk[:, :, None], (0, 0, t))   # (B, D, S) col t
             v_caches[l] = jax.lax.dynamic_update_slice(
-                v_caches[l], nv.transpose(1, 0, 2)[:, :, None, :],
-                (0, 0, t, 0))
+                v_caches[l], nv[:, None, :], (0, t, 0))
             ks_caches[l] = jax.lax.dynamic_update_slice(
-                ks_caches[l], nks.T[:, :, None], (0, 0, t))
+                ks_caches[l], nks[:, :, None], (0, 0, t))
             vs_caches[l] = jax.lax.dynamic_update_slice(
-                vs_caches[l], nvs.T[:, :, None], (0, 0, t))
+                vs_caches[l], nvs[:, :, None], (0, 0, t))
 
         h_t = layer_norm(dec["final_norm"], x).astype(jnp.float32)  # (B, D)
         h_cache = jax.lax.dynamic_update_slice(

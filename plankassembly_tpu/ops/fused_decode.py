@@ -1,49 +1,59 @@
-"""Fused decoder-layer Pallas kernel for the KV-cached decode loop.
+"""Fused decoder-layer Pallas kernel with in-kernel MXU attention.
 
 Motivation (CLAUDE.md perf ledger): at B=256 / bucket 512 the XLA decode
-step runs ~2.8 ms against a ~1.3 ms HBM-traffic floor. The gap is schedule
-overhead — the `while_loop` body lowers to ~170 small HLO ops (layer norms,
-reshapes, scale folds, (B,1,D)-sized GEMVs), each paying fixed per-op cost
-on tensors far too small to hide it. This kernel fuses a decoder layer's
-self-attention (with in-register int8 cache append) and cross-attention
-into ONE Pallas call (+ a small FFN kernel), so a 6-layer step is 12 kernel
-launches plus the sampling tail instead of ~170 ops. HBM sees exactly one
-read of the layer's weights and caches per step (the DMA floor).
+step runs ~2.24 ms against a ~1.3 ms HBM-traffic floor, and a profiler
+trace attributes 57% of the loop to the twelve cross-attention fusions
+running ~2.2x off the DMA roofline — XLA schedules the per-batch-row
+(H, Dkv) x (Dkv, Li) block-diagonal matmuls poorly. This kernel keeps the
+whole layer fused (one attention kernel + a small FFN kernel per layer:
+12 launches per step instead of ~170 HLO ops) AND keeps attention on the
+MXU by lifting the block-diagonal trick one level up:
 
-Mosaic constraints this kernel is built around (each validated by compile
-probes on the target toolchain):
-  * vector reshapes that split the lane dim are rejected ((B, D) ->
-    (B, H, Dh)), and slices must be 128-lane aligned — with Dh = 64 a
-    per-head layout is unusable. Heads are processed in PAIRS: one
-    128-lane block holds heads (2p, 2p+1); per-head score/output
-    separation uses static even/odd half-masks + masked reductions. Exact
-    for MHA (kvH == H); GQA decode stays on the XLA mxu path (already 4x
-    lighter on HBM by construction).
-  * the Mosaic stack allocator does not reuse temporaries across UNROLLED
-    python loops — an unrolled pairs x chunks attention overflows the
-    16 MB scoped VMEM limit on live (RB, Li, 128) products alone. So both
-    loops are `lax.fori_loop`s, every pair/chunk-varying tensor carries
-    its loop axis as a LEADING (untiled) dimension (dynamic indexing of
-    tiled axes is unsupported), and cross-attention runs a two-pass
-    chunked softmax with a (NCH, RB, CH) score scratch.
-  * the auto-pipeline allocates ~4 buffers per streamed input, so only
-    tiny operands ride it; weights are ANY-space operands copied to VMEM
-    scratch once at grid step 0, self-cache blocks are copied per grid
-    step (single-buffered, ~1 MB), and the dominant cross-K/V stream is
-    explicitly double-buffered across grid steps (2 slots, 8.4 MB).
-  * attention contractions are 3-D broadcast-multiply-reduces on the VPU
-    (batched `dot_general` is unsupported); projections are 2-D MXU dots,
-    one per pair, with pair-sliced weights stacked on a leading axis.
+  * queries for ALL RB batch rows and H heads are scattered into one
+    block-diagonal matrix Qbig (RB*H, RB*D) — row r*H+h carries query
+    (r, h) in the Dh-wide slice of column block r — so ONE int8 MXU dot
+    Qbig @ K_flat (RB*D, N) yields every row/head's scores at once;
+  * attention probabilities are likewise scattered into P_big
+    (RB*H, RB*N) and ONE dot against V_flat (RB*N, D) yields per-row/head
+    outputs, whose diagonal Dh-blocks are extracted with a static mask +
+    column-sum and reassembled row by row.
 
-Semantics mirror the `use_mxu, kv_quant=True` XLA path in `decode.py:step`
-up to f32-accumulation order. Reference anchor: this replaces the hot loop
-of `plankassembly/models.py:284-307` (which re-runs the full decoder per
-step with no cache at all).
+  The deliberate block-diagonal zero-FLOPs are affordable: ~8x MXU waste
+  is ~50 GFLOP/step, 0.3 ms at peak, paid to turn a latency-bound batched
+  GEMV pattern into large dense matmuls. Dots run int8 x int8 -> int32
+  (per-row symmetric scales for Qbig and P_big, folded into the dequant)
+  so the K/V caches stream straight from int8 with no bf16 staging.
 
-Layouts (kvH == H, W = 2*Dh = one head pair, P = H//2):
-  self K/V cache   (B, P, S, W) int8, per-token scales (H, B, S) f32
-  cross K/V        (B, P, NCH, CH, W) int8, scales (B, H) f32
-  cross bias       (NCH, B, CH) f32
+Mosaic constraints honored (each validated by compile probes; failed
+alternatives are in git history as kernel v1-v4):
+  * no vector reshapes that split the lane dim, no unaligned slices: all
+    scatter/extract steps use static 8-aligned sublane and 128-aligned
+    lane offsets on scratch refs; leading-dim merges (a, b, C)->(a*b, C)
+    are the only reshapes;
+  * (rb, H) -> (rb*H, 1) column merges are unsupported: per-row-head
+    scalar columns are built as rowsel @ val followed by a mod-mask
+    lane reduction;
+  * fori_loop for the cross-attention key chunks (the stack allocator
+    does not reuse temporaries across unrolled loops), with chunk index
+    on a leading (untiled) scratch axis and a two-pass chunked softmax;
+  * manual DMA: weights once at grid step 0, self-cache blocks per grid
+    step, cross K/V in an explicit 2-slot double buffer (the auto
+    pipeline would allocate ~4 buffers per input and blow the 16 MB
+    scoped VMEM limit).
+
+Semantics: as the `use_mxu, kv_quant=True` XLA path plus int8
+quantization of the query and probability matrices (the int8 K/V caches
+are bit-identical). MHA only (kvH == H); GQA decode stays on the XLA mxu
+path. Reference anchor: this replaces the hot loop of
+`plankassembly/models.py:284-307`.
+
+Layouts:
+  self K cache     (B, D, S) int8  (transposed: contraction-major)
+  self V cache     (B, S, D) int8
+  self scales      (B, H, S) f32
+  cross K          (B, NCH, D, CH) int8 (chunked, contraction-major)
+  cross V          (B, NCH, CH, D) int8
+  cross scales     (B, H) f32;  cross bias (NCH, B, CH) f32
 """
 from __future__ import annotations
 
@@ -54,28 +64,34 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_N_W = 9  # wqkv_p bqkv_p wos_p bos wqc_p bqc_p woc_p boc ln
+_N_W = 9  # wqkv bqkv wos bos wqc bqc woc boc ln
+
+
+def _quant_rows(x):
+    """Symmetric per-row int8 quantization of a 2-D f32 value."""
+    s = jnp.maximum(jnp.max(jnp.abs(x), axis=-1, keepdims=True) / 127., 1e-8)
+    return jnp.round(x / s).astype(jnp.int8), s
 
 
 def _kernel(t_ref,  # scalar prefetch: current position
             x_ref,
             wqkv_h, bqkv_h, wos_h, bos_h, wqc_h, bqc_h, woc_h, boc_h,
             ln_h,                                    # ANY (HBM) weights
-            kc_h, vc_h, ksc_h, vsc_h,                # ANY self-cache arrays
+            kt_h, v_h, ksc_h, vsc_h,                 # ANY self-cache arrays
             ck_h, cv_h,                              # ANY cross K/V arrays
             cks_ref, cvs_ref, cbias_ref,             # pipelined (small)
             xo_ref, nk_ref, nv_ref, nks_ref, nvs_ref,
+            qkv_scr, q2_scr, qbig_scr, pbig_scr, a_scr,
             wqkv_s, bqkv_s, wos_s, bos_s, wqc_s, bqc_s, woc_s, boc_s,
             ln_s,                                    # VMEM weight scratch
-            kc_s, vc_s, ksc_s, vsc_s,                # VMEM self-cache blocks
-            ck_s, cv_s,                              # (2, RB, P, NCH, CH, W)
-            sce_s, sco_s,                            # (NCH, RB, CH) scores
+            kt_s, vself_s, ksc_s, vsc_s,             # VMEM self-cache blocks
+            ck_s, cv_s,                              # 2-slot cross scratch
+            sce_scr,                                 # (NCH, NR, CH) scores
             sems,
             *, H, Dh, S, Li, CH, sm_scale, cd):
     RB = x_ref.shape[0]
     D = H * Dh
-    W = 2 * Dh                                       # lanes per head pair
-    P = H // 2
+    NR = RB * H                                      # Qbig/P_big rows
     NCH = Li // CH
     t = t_ref[0]
     i = pl.program_id(0)
@@ -96,7 +112,7 @@ def _kernel(t_ref,  # scalar prefetch: current position
     n_blocks = pl.num_programs(0)
     slot = jax.lax.rem(i, 2)
     nxt = jax.lax.rem(i + 1, 2)
-    S_CK, S_CV = _N_W + 4, _N_W + 6  # sem indices: two slots each
+    S_CK, S_CV = _N_W + 4, _N_W + 6
 
     @pl.when(i == 0)
     def _load_first_cross():
@@ -122,11 +138,9 @@ def _kernel(t_ref,  # scalar prefetch: current position
         pltpu.make_async_copy(cv_h.at[ri], cv_s.at[slot],
                               sems.at[S_CV + slot]).wait()
 
-    # this block's self-cache rows: single-buffered (~1 MB, hidden behind
-    # the cross prefetch)
     rows = pl.dslice(i * RB, RB)
-    cache_pairs = [(kc_h.at[rows], kc_s), (vc_h.at[rows], vc_s),
-                   (ksc_h.at[:, rows], ksc_s), (vsc_h.at[:, rows], vsc_s)]
+    cache_pairs = [(kt_h.at[rows], kt_s), (v_h.at[rows], vself_s),
+                   (ksc_h.at[rows], ksc_s), (vsc_h.at[rows], vsc_s)]
     for j, (src, dst) in enumerate(cache_pairs):
         pltpu.make_async_copy(src, dst, sems.at[_N_W + j]).start()
     for j, (src, dst) in enumerate(cache_pairs):
@@ -135,146 +149,160 @@ def _kernel(t_ref,  # scalar prefetch: current position
     x = x_ref[...]                                   # (RB, D) f32
 
     def layernorm(v, row):
-        s = ln_s[row:row + 1, :]                     # (1, D)
+        s = ln_s[row:row + 1, :]
         b = ln_s[row + 1:row + 2, :]
         m = jnp.mean(v, axis=-1, keepdims=True)
         var = jnp.mean((v - m) * (v - m), axis=-1, keepdims=True)
         return (v - m) * jax.lax.rsqrt(var + 1e-5) * s + b
 
-    # static even/odd half masks over one pair block
-    iota_w = jax.lax.broadcasted_iota(jnp.int32, (1, W), 1)
-    m_e = (iota_w < Dh).astype(f32)                  # (1, W)
-    m_o = 1.0 - m_e
-    me_cd, mo_cd = m_e.astype(cd), m_o.astype(cd)
-    iota_h = jax.lax.broadcasted_iota(jnp.int32, (1, H), 1)
+    # static masks / selectors
+    sel_hd = (jax.lax.broadcasted_iota(jnp.int32, (H, D), 1) // Dh
+              == jax.lax.broadcasted_iota(jnp.int32, (H, D), 0)
+              ).astype(f32)                          # (H, D) head diag
+    rowsel = (jax.lax.broadcasted_iota(jnp.int32, (NR, RB), 0) // H
+              == jax.lax.broadcasted_iota(jnp.int32, (NR, RB), 1)
+              ).astype(f32)                          # (NR, RB): rr -> r
+    modmask = (jax.lax.broadcasted_iota(jnp.int32, (NR, H), 0) % H
+               == jax.lax.broadcasted_iota(jnp.int32, (NR, H), 1)
+               ).astype(f32)                         # (NR, H): rr -> h
     iota_s = jax.lax.broadcasted_iota(jnp.int32, (1, S), 1)
-    self_bias = jnp.where(iota_s <= t, 0.0, -jnp.inf)      # (1, S)
     at_t = (iota_s == t)
+    self_bias = jnp.where(iota_s <= t, 0.0, -jnp.inf)
 
-    def halves(v):
-        return (jax.lax.slice_in_dim(v, 0, W, axis=1),
-                jax.lax.slice_in_dim(v, W, 2 * W, axis=1),
-                jax.lax.slice_in_dim(v, 2 * W, 3 * W, axis=1))
+    def col64(val_rbH):
+        """(RB, H) f32 -> (NR, 1): value for row-head rr = (rr//H, rr%H)."""
+        y = jnp.dot(rowsel, val_rbH, preferred_element_type=f32)
+        return jnp.sum(y * modmask, axis=-1, keepdims=True)
 
-    # ---------------- self-attention (single chunk: S <= 128) ----------
-    h1 = layernorm(x, 0).astype(cd)
+    def merge64(val_rbHX):
+        """(RB, H, X) -> (NR, X) leading merge."""
+        return val_rbHX.reshape(NR, val_rbHX.shape[-1])
 
-    def self_body(p, carry):
-        acc, nks, nvs = carry
-        qkv_p = jnp.dot(h1, wqkv_s[p],
-                        preferred_element_type=f32) + bqkv_s[p, 0:1]
-        q_p, k_t, v_t = halves(qkv_p)                # (RB, W) each
-        # int8-quantize the appended token per half-head; attend with the
-        # DEQUANTIZED values so scores match the XLA path, which reads this
-        # token back from the int8 cache
-        ks_e = jnp.maximum(
-            jnp.max(jnp.abs(k_t) * m_e, axis=-1, keepdims=True) / 127., 1e-8)
-        ks_o = jnp.maximum(
-            jnp.max(jnp.abs(k_t) * m_o, axis=-1, keepdims=True) / 127., 1e-8)
-        vs_e = jnp.maximum(
-            jnp.max(jnp.abs(v_t) * m_e, axis=-1, keepdims=True) / 127., 1e-8)
-        vs_o = jnp.maximum(
-            jnp.max(jnp.abs(v_t) * m_o, axis=-1, keepdims=True) / 127., 1e-8)
-        k_scale = ks_e * m_e + ks_o * m_o            # (RB, W)
-        v_scale = vs_e * m_e + vs_o * m_o
-        k_i8 = jnp.round(k_t / k_scale).astype(jnp.int8)
-        v_i8 = jnp.round(v_t / v_scale).astype(jnp.int8)
-        nk_ref[p] = k_i8
-        nv_ref[p] = v_i8
-        nks = nks + ks_e * (iota_h == 2 * p) + ks_o * (iota_h == 2 * p + 1)
-        nvs = nvs + vs_e * (iota_h == 2 * p) + vs_o * (iota_h == 2 * p + 1)
-        k_tq = k_i8.astype(f32) * k_scale
-        v_tq = v_i8.astype(f32) * v_scale
+    def repeat64(val_rbX):
+        """(RB, X) -> (NR, X): row r repeated H times."""
+        X = val_rbX.shape[-1]
+        return jnp.broadcast_to(val_rbX[:, None, :], (RB, H, X)).reshape(NR, X)
 
-        kc_p = kc_s[:, p].astype(cd)                 # (RB, S, W)
-        prod = q_p.astype(cd)[:, None, :] * kc_p
-        sc_e = jnp.sum(prod * me_cd[None], axis=-1, dtype=f32)
-        sc_o = jnp.sum(prod * mo_cd[None], axis=-1, dtype=f32)
-        sc_e = sc_e * ksc_s[2 * p] * sm_scale        # per-token K scales
-        sc_o = sc_o * ksc_s[2 * p + 1] * sm_scale
-        own_e = jnp.sum(q_p * k_tq * m_e, axis=-1, keepdims=True) * sm_scale
-        own_o = jnp.sum(q_p * k_tq * m_o, axis=-1, keepdims=True) * sm_scale
-        sc_e = jnp.where(at_t, own_e, sc_e) + self_bias
-        sc_o = jnp.where(at_t, own_o, sc_o) + self_bias
-        p_e = jnp.exp(sc_e - jnp.max(sc_e, axis=-1, keepdims=True))
-        p_e = p_e / jnp.sum(p_e, axis=-1, keepdims=True)
-        p_o = jnp.exp(sc_o - jnp.max(sc_o, axis=-1, keepdims=True))
-        p_o = p_o / jnp.sum(p_o, axis=-1, keepdims=True)
-        pt_e = jnp.sum(jnp.where(at_t, p_e, 0.0), axis=-1, keepdims=True)
-        pt_o = jnp.sum(jnp.where(at_t, p_o, 0.0), axis=-1, keepdims=True)
-        p_e = jnp.where(at_t, 0.0, p_e) * vsc_s[2 * p]       # fold V scales
-        p_o = jnp.where(at_t, 0.0, p_o) * vsc_s[2 * p + 1]
-        pmix = (p_e[:, :, None] * m_e[None]
-                + p_o[:, :, None] * m_o[None]).astype(cd)
-        vc_p = vc_s[:, p].astype(cd)
-        o_p = jnp.sum(pmix * vc_p, axis=1, dtype=f32)        # (RB, W)
-        o_p = o_p + (pt_e * m_e + pt_o * m_o) * v_tq
-        acc = acc + jnp.dot(o_p.astype(cd), wos_s[p],
-                            preferred_element_type=f32)
-        return acc, nks, nvs
+    def scatter_qbig(src_scr, lo, scale_cols):
+        """Build Qbig (NR, RB*D) from rows src_scr[r, lo:lo+D] (per-head
+        diagonal placement), then quantize per row."""
+        qbig_scr[...] = jnp.zeros((NR, RB * D), f32)
+        for r in range(RB):
+            row = src_scr[r:r + 1, lo:lo + D]        # (1, D)
+            qbig_scr[r * H:(r + 1) * H, r * D:(r + 1) * D] = row * sel_hd
+        q_i8, q_s = _quant_rows(qbig_scr[...])
+        return q_i8, q_s * scale_cols
 
-    acc0 = (jnp.zeros((RB, D), f32), jnp.zeros((RB, H), f32),
-            jnp.zeros((RB, H), f32))
-    acc_a, nks, nvs = jax.lax.fori_loop(0, P, self_body, acc0)
+    def scatter_pbig(p, N):
+        """Build P_big (NR, RB*N) from p (NR, N), quantize per row."""
+        pbig_scr[...] = jnp.zeros((NR, RB * CH), f32)
+        for r in range(RB):
+            blk = jax.lax.slice_in_dim(p, r * H, (r + 1) * H, axis=0)
+            pbig_scr[r * H:(r + 1) * H, r * N:(r + 1) * N] = blk
+        return _quant_rows(pbig_scr[:, :RB * N])
+
+    def extract_diag(o64):
+        """(NR, D) -> (RB, D): keep each row-head's diagonal Dh block."""
+        for r in range(RB):
+            blk = jax.lax.slice_in_dim(o64, r * H, (r + 1) * H, axis=0)
+            a_scr[r:r + 1, :] = jnp.sum(blk * sel_hd, axis=0, keepdims=True)
+        return a_scr[...]
+
+    # ---------------- self-attention ----------------
+    h1 = layernorm(x, 0)
+    qkv_scr[...] = jnp.dot(h1.astype(cd), wqkv_s[...],
+                           preferred_element_type=f32) + bqkv_s[0:1, :]
+
+    # quantize the appended token per head; attend with the DEQUANTIZED
+    # values so K/V semantics match the XLA int8-cache path
+    iota_h = jax.lax.broadcasted_iota(jnp.int32, (1, H), 1)
+    nk_parts, nv_parts = [], []
+    nks = jnp.zeros((RB, H), f32)
+    nvs = jnp.zeros((RB, H), f32)
+    own = jnp.zeros((RB, H), f32)
+    for h_ in range(H):
+        k_t = qkv_scr[:, D + h_ * Dh: D + (h_ + 1) * Dh]     # (RB, Dh)
+        v_t = qkv_scr[:, 2 * D + h_ * Dh: 2 * D + (h_ + 1) * Dh]
+        q_h = qkv_scr[:, h_ * Dh: (h_ + 1) * Dh]
+        k_s = jnp.maximum(jnp.max(jnp.abs(k_t), axis=-1, keepdims=True)
+                          / 127., 1e-8)
+        v_s = jnp.maximum(jnp.max(jnp.abs(v_t), axis=-1, keepdims=True)
+                          / 127., 1e-8)
+        k_i8 = jnp.round(k_t / k_s).astype(jnp.int8)
+        v_i8 = jnp.round(v_t / v_s).astype(jnp.int8)
+        nk_parts.append(k_i8)
+        nv_parts.append(v_i8)
+        onehot = (iota_h == h_).astype(f32)                  # (1, H)
+        nks = nks + k_s * onehot
+        nvs = nvs + v_s * onehot
+        own = own + jnp.sum(q_h * (k_i8.astype(f32) * k_s), axis=-1,
+                            keepdims=True) * sm_scale * onehot
+    nk_ref[...] = jnp.concatenate(nk_parts, axis=-1)         # (RB, D)
+    nv_ref[...] = jnp.concatenate(nv_parts, axis=-1)
     nks_ref[...] = nks
     nvs_ref[...] = nvs
-    x = x + acc_a + bos_s[0:1, :]
 
-    # ---------------- cross-attention (two-pass chunked softmax) --------
-    h2 = layernorm(x, 2).astype(cd)
-    cks = cks_ref[...]                               # (RB, H)
-    cvs = cvs_ref[...]
+    q_i8, q_s = scatter_qbig(qkv_scr, 0, sm_scale)
+    kt_flat = kt_s[...].reshape(RB * D, S)                   # int8
+    sc = jax.lax.dot_general(q_i8, kt_flat, (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.int32)
+    sc = sc.astype(f32) * q_s * merge64(ksc_s[...])          # (NR, S)
+    sc = jnp.where(at_t, col64(own), sc) + self_bias
+    p = jnp.exp(sc - jnp.max(sc, axis=-1, keepdims=True))
+    p = p / jnp.sum(p, axis=-1, keepdims=True)
+    pt = jnp.sum(jnp.where(at_t, p, 0.0), axis=-1, keepdims=True)
+    p = jnp.where(at_t, 0.0, p) * merge64(vsc_s[...])        # fold V scales
+    p_i8, p_s = scatter_pbig(p, S)
+    v_flat = vself_s[...].reshape(RB * S, D)                 # int8
+    o64 = jax.lax.dot_general(p_i8, v_flat, (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.int32)
+    o64 = o64.astype(f32) * p_s
+    # own-token V contribution (extract_diag keeps only each row-head's
+    # diagonal block, so adding the full-width dequantized v_t is exact)
+    v_tq = (nv_ref[...].astype(f32)
+            * jnp.dot(nvs, sel_hd, preferred_element_type=f32))  # (RB, D)
+    o64 = o64 + pt * repeat64(v_tq)
+    a = extract_diag(o64)
+    a = jnp.dot(a.astype(cd), wos_s[...],
+                preferred_element_type=f32) + bos_s[0:1, :]
+    x = x + a
 
-    def cross_body(p, acc):
-        q2_p = jnp.dot(h2, wqc_s[p],
-                       preferred_element_type=f32) + bqc_s[p, 0:1]
-        # per-head dequant scales, extracted by mask-reduce
-        cks_e = jnp.sum(cks * (iota_h == 2 * p), axis=-1, keepdims=True)
-        cks_o = jnp.sum(cks * (iota_h == 2 * p + 1), axis=-1, keepdims=True)
-        cvs_e = jnp.sum(cvs * (iota_h == 2 * p), axis=-1, keepdims=True)
-        cvs_o = jnp.sum(cvs * (iota_h == 2 * p + 1), axis=-1, keepdims=True)
-        q2p = (q2_p * (cks_e * m_e + cks_o * m_o)).astype(cd)
+    # ---------------- cross-attention (two-pass chunked) ----------------
+    h2 = layernorm(x, 2)
+    q2_scr[...] = jnp.dot(h2.astype(cd), wqc_s[...],
+                          preferred_element_type=f32) + bqc_s[0:1, :]
+    q2_i8, q2_s = scatter_qbig(q2_scr, 0, sm_scale)
+    cksc = col64(cks_ref[...])                               # (NR, 1)
+    cvsc = col64(cvs_ref[...])
 
-        def pass1(ci, carry):
-            m_em, m_om = carry
-            kb = ck_s[slot, :, p, ci].astype(cd)     # (RB, CH, W)
-            prod = q2p[:, None, :] * kb
-            se = jnp.sum(prod * me_cd[None], axis=-1, dtype=f32) * sm_scale
-            so = jnp.sum(prod * mo_cd[None], axis=-1, dtype=f32) * sm_scale
-            bias = cbias_ref[ci]                     # (RB, CH)
-            se = se + bias
-            so = so + bias
-            sce_s[ci] = se
-            sco_s[ci] = so
-            m_em = jnp.maximum(m_em, jnp.max(se, axis=-1, keepdims=True))
-            m_om = jnp.maximum(m_om, jnp.max(so, axis=-1, keepdims=True))
-            return m_em, m_om
+    def pass1(ci, m_run):
+        kb = ck_s[slot, :, ci].reshape(RB * D, CH)           # int8
+        sc = jax.lax.dot_general(q2_i8, kb, (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.int32)
+        sc = sc.astype(f32) * q2_s * cksc + repeat64(cbias_ref[ci])
+        sce_scr[ci] = sc
+        return jnp.maximum(m_run, jnp.max(sc, axis=-1, keepdims=True))
 
-        neg = jnp.full((RB, 1), -jnp.inf, f32)
-        m_em, m_om = jax.lax.fori_loop(0, NCH, pass1, (neg, neg))
+    m_run = jax.lax.fori_loop(
+        0, NCH, pass1, jnp.full((NR, 1), -jnp.inf, f32))
 
-        def pass2(ci, carry):
-            l_e, l_o, o_acc = carry
-            pe = jnp.exp(sce_s[ci] - m_em)           # (RB, CH)
-            po = jnp.exp(sco_s[ci] - m_om)
-            l_e = l_e + jnp.sum(pe, axis=-1, keepdims=True)
-            l_o = l_o + jnp.sum(po, axis=-1, keepdims=True)
-            vb = cv_s[slot, :, p, ci].astype(cd)
-            pmix = (pe[:, :, None] * m_e[None]
-                    + po[:, :, None] * m_o[None]).astype(cd)
-            o_acc = o_acc + jnp.sum(pmix * vb, axis=1, dtype=f32)
-            return l_e, l_o, o_acc
+    def pass2(ci, carry):
+        l_run, o_run = carry
+        pc = jnp.exp(sce_scr[ci] - m_run)                    # (NR, CH)
+        l_run = l_run + jnp.sum(pc, axis=-1, keepdims=True)
+        pc_i8, pc_s = scatter_pbig(pc, CH)
+        vb = cv_s[slot, :, ci].reshape(RB * CH, D)           # int8
+        oc = jax.lax.dot_general(pc_i8, vb, (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.int32)
+        return l_run, o_run + oc.astype(f32) * pc_s
 
-        z = jnp.zeros((RB, 1), f32)
-        l_e, l_o, o_acc = jax.lax.fori_loop(
-            0, NCH, pass2, (z, z, jnp.zeros((RB, W), f32)))
-        # normalize per half and fold the V dequant scale
-        o_p = o_acc * ((cvs_e / l_e) * m_e + (cvs_o / l_o) * m_o)
-        return acc + jnp.dot(o_p.astype(cd), woc_s[p],
-                             preferred_element_type=f32)
-
-    acc_c = jax.lax.fori_loop(0, P, cross_body, jnp.zeros((RB, D), f32))
-    xo_ref[...] = x + acc_c + boc_s[0:1, :]
+    l_run, o_run = jax.lax.fori_loop(
+        0, NCH, pass2,
+        (jnp.zeros((NR, 1), f32), jnp.zeros((NR, D), f32)))
+    c = extract_diag(o_run * (cvsc / l_run))
+    c = jnp.dot(c.astype(cd), woc_s[...],
+                preferred_element_type=f32) + boc_s[0:1, :]
+    xo_ref[...] = x + c
 
 
 def _ffn_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, ln_ref, xo_ref, *, cd):
@@ -324,66 +352,48 @@ def fused_ffn(x, w1, b1, w2, b2, ln3, *, block_rows=64, cd=jnp.bfloat16,
     static_argnames=("H", "Dh", "sm_scale", "block_rows", "cd", "interpret"))
 def fused_decoder_layer(x, t, wqkv, bqkv, wos, bos, wqc, bqc, woc, boc,
                         w1, b1, w2, b2, ln,
-                        k_cache, v_cache, ks_cache, vs_cache,
+                        kt_cache, v_cache, ks_cache, vs_cache,
                         ck, cv, cks, cvs, cbias, *,
                         H, Dh, sm_scale, block_rows=8,
                         cd=jnp.bfloat16, interpret=False):
-    """One decoder layer of one decode step: a fused attention kernel plus
-    `fused_ffn` (MHA only: kvH == H; W = 2*Dh, P = H//2).
+    """One decoder layer of one decode step: MXU-attention kernel plus
+    `fused_ffn` (MHA only: kvH == H).
 
     x        (B, D) f32        input activations (post-residual of layer-1)
     t        () int32          current decode position
     wqkv     (D, 3D)           fused self-attention QKV projection
     ln       (6, D) f32        [n1.s, n1.b, n2.s, n2.b, n3.s, n3.b]
-    k/v_cache (B, P, S, W) int8  pair-major self cache (t-th row stale)
-    ks/vs_cache (H, B, S) f32  per-token cache scales (head-leading)
-    ck/cv    (B, P, NCH, CH, W) int8  pair-major chunked cross keys/values
+    kt_cache (B, D, S) int8    transposed self K cache (t-th column stale)
+    v_cache  (B, S, D) int8    self V cache
+    ks/vs_cache (B, H, S) f32  per-token cache scales
+    ck       (B, NCH, D, CH) int8  chunked contraction-major cross keys
+    cv       (B, NCH, CH, D) int8  chunked cross values
     cks/cvs  (B, H) f32        cross K/V dequant scales
     cbias    (NCH, B, CH) f32  chunk-leading pad mask over encoder keys
 
-    Returns (x_out (B,D) f32, nk (P,B,W) int8, nv, nks (B,H) f32, nvs):
-    the layer output plus this token's quantized K/V rows for the caller
-    to scatter into the caches at position t.
+    Returns (x_out (B,D) f32, nk (B,D) int8, nv (B,D) int8, nks (B,H) f32,
+    nvs): the layer output plus this token's quantized K/V rows for the
+    caller to scatter into the caches at position t.
     """
-    assert H % 2 == 0, "fused kernel processes heads in pairs"
+    assert H >= 2, "head-batched kernel"
     B, D = x.shape
-    P = H // 2
-    W = 2 * Dh
-    S = k_cache.shape[2]
+    S = kt_cache.shape[2]
     NCH, CH = cbias.shape[0], cbias.shape[2]
-    Li = NCH * CH
-    assert S <= 128, "self-attention is single-chunk"
+    assert S <= CH, "self-attention is single-chunk"
 
     rb = min(block_rows, B)
     assert B % rb == 0, (B, rb)
     n = B // rb
+    NR = rb * H
 
-    # pair-major weight reorders (hoisted out of the decode loop by XLA —
-    # all inputs are loop constants)
-    def cols(w, p, off):
-        return jax.lax.slice_in_dim(w, off + p * W, off + (p + 1) * W, axis=1)
-    wqkv_p = jnp.stack([jnp.concatenate(
-        [cols(wqkv, p, 0), cols(wqkv, p, D), cols(wqkv, p, 2 * D)], axis=1)
-        for p in range(P)]).astype(cd)               # (P, D, 3W)
-    bq3 = bqkv.astype(jnp.float32)
-    bqkv_p = jnp.stack([jnp.concatenate(
-        [bq3[p * W:(p + 1) * W], bq3[D + p * W:D + (p + 1) * W],
-         bq3[2 * D + p * W:2 * D + (p + 1) * W]])
-        for p in range(P)]).reshape(P, 1, 3 * W)
-    wos_p = jnp.stack([wos[p * W:(p + 1) * W, :]
-                       for p in range(P)]).astype(cd)   # (P, W, D)
-    wqc_p = jnp.stack([cols(wqc, p, 0) for p in range(P)]).astype(cd)
-    bqc_p = jnp.stack([bqc.astype(jnp.float32)[p * W:(p + 1) * W]
-                       for p in range(P)]).reshape(P, 1, W)
-    woc_p = jnp.stack([woc[p * W:(p + 1) * W, :]
-                       for p in range(P)]).astype(cd)
-    bos2 = bos.astype(jnp.float32).reshape(1, -1)
-    boc2 = boc.astype(jnp.float32).reshape(1, -1)
+    wqkv = wqkv.astype(cd)
+    bqkv = bqkv.astype(jnp.float32).reshape(1, -1)
+    wos, bos = wos.astype(cd), bos.astype(jnp.float32).reshape(1, -1)
+    wqc, bqc = wqc.astype(cd), bqc.astype(jnp.float32).reshape(1, -1)
+    woc, boc = woc.astype(cd), boc.astype(jnp.float32).reshape(1, -1)
     ln6 = ln.astype(jnp.float32)
-    weights = [wqkv_p, bqkv_p, wos_p, bos2, wqc_p, bqc_p, woc_p, boc2, ln6]
+    weights = [wqkv, bqkv, wos, bos, wqc, bqc, woc, boc, ln6]
 
-    # index maps take (grid idx, *scalar_prefetch_refs) under
-    # PrefetchScalarGridSpec — hence the *_ catch-all
     any_spec = pl.BlockSpec(memory_space=pltpu.ANY)
     row = lambda *shp: pl.BlockSpec((rb, *shp),
                                     lambda i, *_: (i,) + (0,) * len(shp))
@@ -403,29 +413,33 @@ def fused_decoder_layer(x, t, wqkv, bqkv, wos, bos, wqc, bqc, woc, boc,
             ]),
         out_specs=[
             row(D),                                # x_out
-            pl.BlockSpec((P, rb, W), lambda i, *_: (0, i, 0)),   # nk
-            pl.BlockSpec((P, rb, W), lambda i, *_: (0, i, 0)),   # nv
+            row(D), row(D),                        # nk, nv
             row(H), row(H),                        # nks, nvs
         ],
         scratch_shapes=(
-            [pltpu.VMEM(w.shape, w.dtype) for w in weights]
-            + [pltpu.VMEM((rb, P, S, W), jnp.int8),        # self K block
-               pltpu.VMEM((rb, P, S, W), jnp.int8),        # self V block
-               pltpu.VMEM((H, rb, S), jnp.float32),        # K scales
-               pltpu.VMEM((H, rb, S), jnp.float32)]        # V scales
-            + [pltpu.VMEM((2, rb, P, NCH, CH, W), jnp.int8),   # cross K
-               pltpu.VMEM((2, rb, P, NCH, CH, W), jnp.int8)]   # cross V
-            + [pltpu.VMEM((NCH, rb, CH), jnp.float32),     # even scores
-               pltpu.VMEM((NCH, rb, CH), jnp.float32)]     # odd scores
+            [pltpu.VMEM((rb, 3 * D), jnp.float32),         # qkv
+             pltpu.VMEM((rb, D), jnp.float32),             # q2
+             pltpu.VMEM((NR, rb * D), jnp.float32),        # Qbig
+             pltpu.VMEM((NR, rb * CH), jnp.float32),       # P_big
+             pltpu.VMEM((rb, D), jnp.float32)]             # extract buffer
+            + [pltpu.VMEM(w.shape, w.dtype) for w in weights]
+            + [pltpu.VMEM((rb, D, S), jnp.int8),           # self K^T block
+               pltpu.VMEM((rb, S, D), jnp.int8),           # self V block
+               pltpu.VMEM((rb, H, S), jnp.float32),        # K scales
+               pltpu.VMEM((rb, H, S), jnp.float32)]        # V scales
+            + [pltpu.VMEM((2, rb, NCH, D, CH), jnp.int8),  # cross K slots
+               pltpu.VMEM((2, rb, NCH, CH, D), jnp.int8)]  # cross V slots
+            + [pltpu.VMEM((NCH, NR, CH), jnp.float32)]     # score chunks
             + [pltpu.SemaphoreType.DMA((_N_W + 8,))]),
     )
     out_shapes = [
         jax.ShapeDtypeStruct((B, D), jnp.float32),
-        jax.ShapeDtypeStruct((P, B, W), jnp.int8),
-        jax.ShapeDtypeStruct((P, B, W), jnp.int8),
+        jax.ShapeDtypeStruct((B, D), jnp.int8),
+        jax.ShapeDtypeStruct((B, D), jnp.int8),
         jax.ShapeDtypeStruct((B, H), jnp.float32),
         jax.ShapeDtypeStruct((B, H), jnp.float32),
     ]
+    Li = NCH * CH
     kernel = functools.partial(
         _kernel, H=H, Dh=Dh, S=S, Li=Li, CH=CH, sm_scale=sm_scale, cd=cd)
     x_att, nk, nv, nks, nvs = pl.pallas_call(
@@ -435,7 +449,8 @@ def fused_decoder_layer(x, t, wqkv, bqkv, wos, bos, wqc, bqc, woc, boc,
         interpret=interpret,
     )(jnp.asarray(t, jnp.int32).reshape(1), x.astype(jnp.float32),
       *weights,
-      k_cache, v_cache, ks_cache, vs_cache,
+      kt_cache, v_cache,
+      ks_cache.astype(jnp.float32), vs_cache.astype(jnp.float32),
       ck, cv, cks.astype(jnp.float32), cvs.astype(jnp.float32),
       cbias.astype(jnp.float32))
     x_out = fused_ffn(x_att, w1, b1, w2, b2, ln[4:6], cd=cd,
