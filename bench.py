@@ -43,14 +43,22 @@ def main():
     from plankassembly_tpu.models.model import ModelDims, init_params
 
     cfg = Config()
-    dims = ModelDims.from_config(cfg)
-    params = init_params(jax.random.PRNGKey(0), dims)
 
     # Optional: BENCH_CKPT=<orbax dir> benchmarks a trained checkpoint with
     # realistic early-exit decoding instead of random weights at the full
     # 128-step bound (used for reporting; the driver runs the default).
+    # Model hyperparameters (e.g. a GQA NUM_KV_HEAD) are taken from the
+    # run's hparams.yaml when it sits next to the checkpoint dir.
     import os
     ckpt = os.environ.get("BENCH_CKPT")
+    if ckpt:
+        run_dir = os.path.dirname(os.path.dirname(os.path.abspath(ckpt)))
+        hp = os.path.join(run_dir, "hparams.yaml")
+        if os.path.exists(hp):
+            from plankassembly_tpu.config import config_from_hparams_file
+            cfg = config_from_hparams_file(hp)
+    dims = ModelDims.from_config(cfg)
+    params = init_params(jax.random.PRNGKey(0), dims)
     if ckpt:
         import orbax.checkpoint as ocp
         with ocp.StandardCheckpointer() as ckptr:

@@ -227,6 +227,21 @@ def config_from_dict(raw: dict[str, Any]) -> Config:
     return _build_dataclass(Config, flat)
 
 
+def config_from_hparams_file(path: str) -> Config:
+    """Rebuild a Config from a run directory's `hparams.yaml` (the flat
+    dataclass dump written by `Trainer._save_hyperparameters`). Lets tools
+    like `bench.py` pick up a checkpoint's true model hyperparameters
+    (e.g. a GQA `MODEL.NUM_KV_HEAD`) instead of assuming the defaults."""
+    import yaml
+    with open(path) as f:
+        flat = dict(yaml.safe_load(f) or {})
+    for key, cls in (("DATA", DataConfig), ("MODEL", ModelConfig),
+                     ("TOKEN", TokenConfig), ("trainer", TrainerConfig)):
+        if isinstance(flat.get(key), dict):
+            flat[key] = _build_dataclass(cls, flat[key])
+    return _build_dataclass(Config, flat)
+
+
 def _coerce(value: str, current: Any) -> Any:
     if isinstance(current, bool):
         return value.lower() in ("1", "true", "yes")

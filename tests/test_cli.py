@@ -27,3 +27,26 @@ def test_unknown_subcommand_rejected():
 def test_missing_config_rejected():
     with pytest.raises(SystemExit):
         parse_args(["fit"])
+
+
+def test_config_from_hparams_file(tmp_path):
+    """bench.py reloads a run's true model hparams (e.g. GQA NUM_KV_HEAD)
+    from the flat hparams.yaml dump instead of assuming defaults."""
+    import dataclasses
+
+    import yaml
+
+    from plankassembly_tpu.config import Config, config_from_hparams_file
+
+    cfg = Config()
+    cfg = dataclasses.replace(
+        cfg, LR=3e-4,
+        MODEL=dataclasses.replace(cfg.MODEL, NUM_KV_HEAD=2, NUM_MODEL=128))
+    p = tmp_path / "hparams.yaml"
+    with open(p, "w") as f:
+        yaml.safe_dump(dataclasses.asdict(cfg), f)
+    got = config_from_hparams_file(str(p))
+    assert got.MODEL.NUM_KV_HEAD == 2
+    assert got.MODEL.NUM_MODEL == 128
+    assert got.LR == 3e-4
+    assert got == cfg
