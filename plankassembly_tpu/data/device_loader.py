@@ -176,41 +176,60 @@ class DeviceDataLoader:
 
     def __iter__(self):
         # one-deep producer thread: the host side (aug-row JSON+packing)
-        # overlaps device compute, as in DataLoader's prefetch
+        # overlaps device compute, as in DataLoader's prefetch. A stop event
+        # (checked around the bounded q.put) unblocks the producer when the
+        # consumer abandons iteration early — e.g. a train-step exception —
+        # instead of leaking a thread parked on a full queue (advisor
+        # finding r2).
         import queue
         import threading
 
         q: queue.Queue = queue.Queue(maxsize=2)
         sentinel = object()
+        stop = threading.Event()
+
+        def _put(item) -> bool:
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.2)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def producer():
             try:
                 order = self.rng.permutation(len(self.names))
                 for start in range(0, len(order), self.batch_size):
+                    if stop.is_set():
+                        return
                     idx = order[start:start + self.batch_size]
                     if len(idx) < self.batch_size:
                         break  # drop_last
                     aug, pos = self._aug_rows(idx)
-                    q.put((idx, self._flat(idx, aug, pos)))
-                q.put(sentinel)
+                    if not _put((idx, self._flat(idx, aug, pos))):
+                        return
+                _put(sentinel)
             except BaseException as exc:  # noqa: BLE001
-                q.put(exc)
+                _put(exc)
 
         thread = threading.Thread(target=producer, daemon=True)
         thread.start()
-        while True:
-            item = q.get()
-            if item is sentinel:
-                break
-            if isinstance(item, BaseException):
-                thread.join()
-                raise item
-            idx, buf = item
-            yield {
-                "_buf": jnp.asarray(buf),
-                "name": [self.names[i] for i in idx],
-            }
-        thread.join()
+        try:
+            while True:
+                item = q.get()
+                if item is sentinel:
+                    break
+                if isinstance(item, BaseException):
+                    raise item
+                idx, buf = item
+                yield {
+                    "_buf": jnp.asarray(buf),
+                    "name": [self.names[i] for i in idx],
+                }
+        finally:
+            stop.set()
+            thread.join()
 
     def materialize(self, batch: dict) -> dict:
         """Assemble a yielded raw batch into device arrays (tests / non-fused

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import json
 import os
+import warnings
 
 import numpy as np
 
@@ -82,20 +83,44 @@ def pack_lines(linestrings, views, types, max_lines: int):
     transfer path (CLAUDE.md).
     """
     segs, seg_views, seg_inten = [], [], []
+    dropped = 0
     for line, view, line_type in zip(linestrings, views, types):
         line = np.asarray(line, dtype=np.float32)
         inten = 1.0 if line_type == 0 else 0.5
         for k in range(len(line) - 1):
             p, q = line[k], line[k + 1]
             # device path is exact for axis-aligned segments only (all
-            # PlankAssembly drawings are; noise aug preserves direction)
-            assert abs(p[0] - q[0]) < 1e-7 or abs(p[1] - q[1]) < 1e-7, (
-                "device rasterization requires axis-aligned segments")
+            # PlankAssembly drawings are; noise aug preserves direction).
+            # Near-axis-aligned (float jitter) snaps to the dominant axis;
+            # a genuinely diagonal segment is dropped with a warning — a
+            # missing line is the same corruption the delete augmentation
+            # trains against, and far better than crashing the loader
+            # (advisor finding r2).
+            dx, dy = abs(p[0] - q[0]), abs(p[1] - q[1])
+            if dx >= 1e-7 and dy >= 1e-7:
+                if min(dx, dy) <= 1e-4:  # snap float jitter
+                    if dx < dy:
+                        q = (p[0], q[1])
+                    else:
+                        q = (q[0], p[1])
+                else:
+                    dropped += 1
+                    continue
             segs.append((p[0], p[1], q[0], q[1]))
             seg_views.append(view)
             seg_inten.append(inten)
+    if dropped:
+        warnings.warn(f"pack_lines: dropped {dropped} non-axis-aligned "
+                      "segment(s); device rasterization is axis-aligned only")
     n = len(segs)
-    assert n <= max_lines, f"{n} segments exceed max_lines={max_lines}"
+    if n > max_lines:
+        # mirror the token path's static length cap: keep the first
+        # max_lines segments rather than crashing the loader
+        warnings.warn(f"pack_lines: {n} segments exceed max_lines="
+                      f"{max_lines}; truncating")
+        segs, seg_views, seg_inten = (segs[:max_lines], seg_views[:max_lines],
+                                      seg_inten[:max_lines])
+        n = max_lines
     lines_arr = np.zeros((max_lines, 4), np.float32)
     views_arr = np.zeros((max_lines,), np.int32)
     inten_arr = np.zeros((max_lines,), np.float32)

@@ -258,6 +258,7 @@ class Trainer:
                             device_step = make_packed_device_train_step(
                                 self.optimizer, self.dims, loader.layout,
                                 loader.batch_size, loader.max_aug_rows,
+                                batch_sharding=batch_sharding(self.mesh),
                                 **self._step_kwargs)
                         state, mets = device_step(
                             state, loader.fields, batch["_buf"], sub)

@@ -99,10 +99,15 @@ def make_packed_device_train_step(optimizer, dims: ModelDims, layout,
                                   batch_size: int, max_aug_rows: int,
                                   compute_dtype=jnp.bfloat16,
                                   donate: bool = True, flash: bool = False,
-                                  loss_impl=None):
+                                  loss_impl=None, batch_sharding=None):
     """`make_device_train_step` taking the loader's single flat int16 buffer
     (`data/device_loader.py`): the whole step's host->device traffic is ONE
-    transfer; idx/pos/aug unpack with static slices inside the program."""
+    transfer; idx/pos/aug unpack with static slices inside the program.
+
+    `batch_sharding` (a NamedSharding over the data axis) is applied to the
+    assembled batch so that on a multi-device mesh the gather output is
+    re-sharded for data parallelism instead of staying wherever the
+    resident store lives (advisor finding r2)."""
     from plankassembly_tpu.data.device_loader import unpack_flat
 
     loss_impl = loss_impl or train_step_loss
@@ -112,7 +117,10 @@ def make_packed_device_train_step(optimizer, dims: ModelDims, layout,
         batch = {}
         for key, store in fields.items():
             gathered = store[idx]
-            batch[key] = gathered.at[pos].set(aug[key], mode="drop")
+            b = gathered.at[pos].set(aug[key], mode="drop")
+            if batch_sharding is not None:
+                b = jax.lax.with_sharding_constraint(b, batch_sharding)
+            batch[key] = b
 
         def loss_fn(params):
             return loss_impl(params, batch, dims, rng=rng,
