@@ -61,8 +61,17 @@ def main(args):
         split_files = [os.path.join(args.data_path, "splits", s)
                        for s in ("train.txt", "valid.txt", "test.txt")]
     names = [f.split(".")[0] for f in parse_splits_list(split_files)]
-    for name in names:
-        prepare_annotation(name, args)
+    if args.max_workers > 1:
+        # process fan-out matching the reference's process_map
+        # (`dataset/prepare_info.py:85-87`)
+        from concurrent.futures import ProcessPoolExecutor
+        from functools import partial
+        with ProcessPoolExecutor(max_workers=args.max_workers) as pool:
+            list(pool.map(partial(prepare_annotation, args=args), names,
+                          chunksize=64))
+    else:
+        for name in names:
+            prepare_annotation(name, args)
     print(f"wrote {len(names)} info JSONs -> {args.data_type}/infos")
 
 
@@ -73,6 +82,10 @@ if __name__ == "__main__":
     parser.add_argument("--name", type=str, default="")
     parser.add_argument("--scale", default=1280, type=float)
     parser.add_argument("--decimals", type=int, default=3)
+    parser.add_argument("--max_workers", type=int,
+                        default=min(16, os.cpu_count() or 1),
+                        help="process fan-out (reference uses 16; serial "
+                        "when 1 — the right default on a 1-core host)")
     args = parser.parse_args()
     os.makedirs(os.path.join(args.data_path, "data", args.data_type, "infos"),
                 exist_ok=True)

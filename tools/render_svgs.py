@@ -6,6 +6,10 @@ One tool covers the reference's three render scripts via --data_type:
   visible   -> `dataset/render_visible_svg.py` (hidden filtered, chains merged)
   noise_XX  -> `dataset/render_noisy_svg.py` (per-sample seeded corruption,
                noise encoded as stroke color; XX = percent, e.g. noise_05)
+  visible_noise_XX -> beyond-reference: the same corruption applied to
+               visible-only drawings (in-domain robustness test sets for
+               the visible model; the reference only corrupts complete
+               drawings)
 
 Projection + HLR is the numpy engine in `plankassembly_tpu.factory.projection`
 (OCCT replacement — exact for axis-aligned box compounds).
@@ -63,13 +67,14 @@ def render_three_views(task):
         boxes = np.array(annos["planks"], dtype=float).reshape(-1, 6)[1:]
         boxes = boxes / SCALE  # `dataset/data_utils.py:49-60`
 
-        noisy = args.data_type.startswith("noise")
+        noisy = "noise" in args.data_type
         if noisy:
             rng = np.random.RandomState(index)  # per-sample determinism
 
+        visible_base = args.data_type.split("_noise")[0] == "visible"
         for view in VIEWS:
             lines, types = project_boxes(boxes, view, args.decimals)
-            if args.data_type == "visible":
+            if visible_base:
                 lines, types = postprocess_visible(lines, types)
             else:
                 lines, types = postprocess_complete(lines, types)
@@ -86,15 +91,25 @@ def render_three_views(task):
 
 
 def main(args):
-    if args.data_type.startswith("noise"):
+    if "noise" in args.data_type:
         split_files = [os.path.join(args.root, "splits", "test.txt")]
     else:
         split_files = [os.path.join(args.root, "splits", s)
                        for s in ("train.txt", "valid.txt", "test.txt")]
     info_files = parse_splits_list(split_files)
     names = [f.split(".")[0] for f in info_files]
-    for index, name in enumerate(names):
-        render_three_views((index, name, args))
+    tasks = [(index, name, args) for index, name in enumerate(names)]
+    if args.max_workers > 1:
+        # process fan-out matching the reference's 16-worker process_map
+        # (`dataset/render_complete_svg.py:52-54`); per-sample failure
+        # isolation stays inside render_three_views, so one bad model
+        # can't kill the job in either mode
+        from concurrent.futures import ProcessPoolExecutor
+        with ProcessPoolExecutor(max_workers=args.max_workers) as pool:
+            list(pool.map(render_three_views, tasks, chunksize=64))
+    else:
+        for task in tasks:
+            render_three_views(task)
     print(f"rendered {len(names)} models -> {args.data_type}/svgs")
 
 
@@ -108,9 +123,13 @@ if __name__ == "__main__":
     parser.add_argument("--noise_length", type=float, default=0.02)
     parser.add_argument("--line_width", type=float, default=0.5)
     parser.add_argument("--decimals", type=int, default=3)
+    parser.add_argument("--max_workers", type=int,
+                        default=min(16, os.cpu_count() or 1),
+                        help="process fan-out (reference uses 16; serial "
+                        "when 1 — the right default on a 1-core host)")
     args = parser.parse_args()
-    if args.noise_ratio is None and args.data_type.startswith("noise_"):
-        args.noise_ratio = int(args.data_type.split("_")[1]) / 100.0
+    if args.noise_ratio is None and "noise_" in args.data_type:
+        args.noise_ratio = int(args.data_type.rsplit("_", 1)[1]) / 100.0
     os.makedirs(os.path.join(args.root, "data", args.data_type, "svgs"),
                 exist_ok=True)
     main(args)
