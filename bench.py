@@ -65,35 +65,55 @@ def main():
             restored = ckptr.restore(os.path.abspath(ckpt))
         params = jax.tree.map(jnp.asarray, restored["params"])
 
-    batch_size = 256
+    # B=512 is the measured amortization ceiling for per-step weight reads
+    # (921 prog/s decode-only vs 893 at B=256, tools/bench_fused.py r2)
+    batch_size = int(os.environ.get("BENCH_BATCH", "512"))
     batch_np = _example_batch(cfg, batch_size)
     inputs = {k: jnp.asarray(v) for k, v in batch_np.items()
               if k.startswith("input")}
     bucket = pick_kv_bucket(batch_np["input_mask"])
 
     def run(fn, iters, **kw):
-        out = fn(params, inputs, dims, compute_dtype=jnp.bfloat16,
-                 early_exit=False, **kw)
+        """Compile via an explicit lower/compile so XLA's own cost analysis
+        (FLOPs + bytes accessed) is available for the roofline fraction."""
+        wrapped = jax.jit(lambda p, b: fn(
+            p, b, dims, compute_dtype=jnp.bfloat16, early_exit=False, **kw))
+        compiled = wrapped.lower(params, inputs).compile()
+        cost = compiled.cost_analysis()
+        if isinstance(cost, list):  # older jax returns [dict]
+            cost = cost[0]
+        out = compiled(params, inputs)
         steps = int(np.asarray(out["num_steps"]))  # host sync + sanity
         assert steps == dims.max_output_length, steps
         t0 = time.perf_counter()
         for _ in range(iters):
-            out = fn(params, inputs, dims, compute_dtype=jnp.bfloat16,
-                     early_exit=False, **kw)
+            out = compiled(params, inputs)
             np.asarray(out["samples"])  # true host sync
         dt = (time.perf_counter() - t0) / iters
-        return batch_size / dt
+        return batch_size / dt, dt, cost
 
     # int8 cross-K/V halves the decode loop's dominant HBM traffic;
     # measured F1 impact on a trained model is 2e-4 (see DEVIATIONS.md)
-    cached_pps = run(greedy_decode, iters=3, kv_bucket=bucket, kv_quant=True)
-    baseline_pps = run(greedy_decode_nocache, iters=1)
+    cached_pps, cached_dt, cost = run(greedy_decode, iters=3,
+                                      kv_bucket=bucket, kv_quant=True)
+    baseline_pps, _, _ = run(greedy_decode_nocache, iters=1)
+
+    # Roofline fraction from XLA's cost analysis against v5e public peaks
+    # (197 bf16 TFLOP/s, 819 GB/s HBM). Decode is bandwidth-bound, so the
+    # binding constraint — max of the two fractions — is the utilization.
+    peak_flops, peak_bw = 197e12, 819e9
+    flops = float(cost.get("flops", 0.0))
+    bytes_accessed = float(cost.get("bytes accessed", 0.0))
+    util = max(flops / cached_dt / peak_flops,
+               bytes_accessed / cached_dt / peak_bw)
 
     print(json.dumps({
         "metric": "shape_programs_per_sec_per_chip",
         "value": round(cached_pps, 2),
         "unit": "programs/s",
         "vs_baseline": round(cached_pps / baseline_pps, 2),
+        "batch": batch_size,
+        "util_frac": round(util, 3),
     }))
 
 
