@@ -65,10 +65,11 @@ def precompute_cross_kv(params, memory, dims: ModelDims, compute_dtype):
 
 
 @partial(jax.jit, static_argnames=("dims", "compute_dtype", "early_exit",
-                                   "kv_bucket", "kv_quant", "cross_impl"))
+                                   "kv_bucket", "kv_quant", "cross_impl",
+                                   "gqa_self_impl"))
 def greedy_decode(params, batch, dims: ModelDims, compute_dtype=jnp.bfloat16,
                   early_exit=True, kv_bucket=None, kv_quant=False,
-                  cross_impl="auto"):
+                  cross_impl="auto", gqa_self_impl="grouped"):
     """Batched greedy decode. Returns dict with:
       samples (B, S) int32 generated tokens,
       attach  (B, S) int32 pointer indices (-1 = none),
@@ -88,12 +89,14 @@ def greedy_decode(params, batch, dims: ModelDims, compute_dtype=jnp.bfloat16,
     return decode_from_memory(params, memory, inputs["input_mask"], dims,
                               compute_dtype=compute_dtype,
                               early_exit=early_exit, kv_quant=kv_quant,
-                              cross_impl=cross_impl)
+                              cross_impl=cross_impl,
+                              gqa_self_impl=gqa_self_impl)
 
 
 def decode_from_memory(params, memory, memory_mask, dims: ModelDims,
                        compute_dtype=jnp.bfloat16, early_exit=True,
-                       kv_quant=False, cross_impl="auto"):
+                       kv_quant=False, cross_impl="auto",
+                       gqa_self_impl="grouped"):
     """KV-cached decode loop over a precomputed encoder memory — shared by
     the token-input model and the raster/ViT variant (`models/vit.py`).
     memory (B, Li, D); memory_mask (B, Li) bool True = padded key.
@@ -105,6 +108,14 @@ def decode_from_memory(params, memory, memory_mask, dims: ModelDims,
     fallback, any backend), "fused-interpret"/"kernel-interpret" (Pallas
     interpret mode, for CPU parity tests), or "auto" (mxu on TPU, xla
     elsewhere).
+
+    gqa_self_impl (G > 1 only): how grouped-query self-attention contracts
+    against its kv-head-wide cache. "grouped" batches over (kv head, group)
+    with 5-D einsums; "expand" broadcasts K/V to all H query heads
+    in-register first, so the einsums take the exact MHA form whose TPU
+    schedule is known-good (HBM traffic is identical — the cache stays
+    kv-head-wide; the broadcast fuses into the contraction). Same math,
+    different XLA schedule; see tools/bench_fused.py --gqa-self.
     """
     if cross_impl == "auto":
         cross_impl = "mxu" if jax.default_backend() == "tpu" else "xla"
@@ -129,11 +140,21 @@ def decode_from_memory(params, memory, memory_mask, dims: ModelDims,
     B = memory.shape[0]
     Li = memory.shape[1]
 
+    def _expand_heads(kv, S_len):
+        """(B,S,kvH,Dh) -> (B,S,H,Dh) by broadcasting each kv head over its
+        G query heads (in-register; fuses into the consuming einsum)."""
+        e = jnp.broadcast_to(kv[:, :, :, None, :], (B, S_len, kvH, G, Dh))
+        return e.reshape(B, S_len, H, Dh)
+
     def grouped_scores(q, k, S_len):
         """q (B,1,H,Dh) x k (B,S,kvH,Dh) -> (B,H,1,S) without materializing
-        a repeated K (the int8 cache stays the only HBM stream)."""
+        a repeated K in HBM (the kv-head-wide cache stays the only HBM
+        stream either way)."""
         if G == 1:
             return jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                              preferred_element_type=jnp.float32)
+        if gqa_self_impl == "expand":
+            return jnp.einsum("bqhd,bkhd->bhqk", q, _expand_heads(k, S_len),
                               preferred_element_type=jnp.float32)
         qg = q.reshape(B, 1, kvH, G, Dh)
         s = jnp.einsum("bqkgd,bskd->bkgqs", qg, k,
@@ -144,6 +165,9 @@ def decode_from_memory(params, memory, memory_mask, dims: ModelDims,
         """w (B,H,1,S) x v (B,S,kvH,Dh) -> (B,1,H,Dh)."""
         if G == 1:
             return jnp.einsum("bhqk,bkhd->bqhd", w, v,
+                              preferred_element_type=jnp.float32)
+        if gqa_self_impl == "expand":
+            return jnp.einsum("bhqk,bkhd->bqhd", w, _expand_heads(v, S_len),
                               preferred_element_type=jnp.float32)
         wg = w.reshape(B, kvH, G, 1, S_len)
         o = jnp.einsum("bkgqs,bskd->bqkgd", wg, v,

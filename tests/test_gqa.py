@@ -93,3 +93,24 @@ def test_mxu_cross_impl_matches_xla(kv):
                       cross_impl="mxu")
     np.testing.assert_array_equal(np.asarray(a["samples"]),
                                   np.asarray(b["samples"]))
+
+
+@pytest.mark.parametrize("kv", [1, 2])
+def test_gqa_self_expand_matches_grouped(kv):
+    """The 'expand' self-attention form (K/V broadcast to all H query heads
+    in-register, MHA-shaped einsums) must emit the same tokens as the
+    default 'grouped' 5-D einsum form — same math, different XLA schedule
+    (tools/bench_fused.py --gqa-self measures which wins on TPU)."""
+    dims = _dims(kv)
+    params = init_params(jax.random.PRNGKey(2), dims)
+    inputs = {k: jnp.asarray(v) for k, v in
+              random_batch(CFG, batch_size=2, seed=7).items()
+              if k.startswith("input")}
+    a = greedy_decode(params, inputs, dims, compute_dtype=jnp.float32,
+                      cross_impl="xla", gqa_self_impl="grouped")
+    b = greedy_decode(params, inputs, dims, compute_dtype=jnp.float32,
+                      cross_impl="xla", gqa_self_impl="expand")
+    np.testing.assert_array_equal(np.asarray(a["samples"]),
+                                  np.asarray(b["samples"]))
+    np.testing.assert_array_equal(np.asarray(a["attach"]),
+                                  np.asarray(b["attach"]))

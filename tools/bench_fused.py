@@ -24,6 +24,8 @@ def main():
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument("--impls", default="mxu,fused")
     ap.add_argument("--block-rows", type=int, default=8)
+    ap.add_argument("--gqa-self", default="grouped",
+                    help="grouped | expand (GQA self-attention einsum form)")
     args = ap.parse_args()
 
     import jax
@@ -50,7 +52,8 @@ def main():
 
     for impl in args.impls.split(","):
         kw = (dict(cross_impl="fused")
-              if impl == "fused" else dict(cross_impl=impl, kv_quant=True))
+              if impl == "fused" else dict(cross_impl=impl, kv_quant=True,
+                                           gqa_self_impl=args.gqa_self))
         # decode_from_memory is not itself jitted: wrap it, or every timed
         # call pays a full retrace+lower (~1.5 s)
         jitted = jax.jit(lambda p, m, k: decode_from_memory(
