@@ -49,6 +49,13 @@ def main(trainer_cls, argv: list[str] | None = None):
     subcommand, config_path, ckpt_path, overrides = parse_args(argv)
     cfg = load_config(config_path, overrides)
 
+    if cfg.trainer.accelerator == "cpu":
+        # debugging/smoke runs off-accelerator; must be set before any jax
+        # backend use (env JAX_PLATFORMS is overridden on hosts whose site
+        # config force-registers an accelerator plugin, so set it here)
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+
     # multi-host (DCN): PLANK_NUM_PROCESSES/PLANK_COORDINATOR/PLANK_PROCESS_ID
     # or PLANK_DISTRIBUTED=1 (TPU pod auto-detect); no-op single host.
     from plankassembly_tpu.parallel.multihost import initialize_from_env
