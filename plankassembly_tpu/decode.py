@@ -69,7 +69,7 @@ def precompute_cross_kv(params, memory, dims: ModelDims, compute_dtype):
                                    "gqa_self_impl"))
 def greedy_decode(params, batch, dims: ModelDims, compute_dtype=jnp.bfloat16,
                   early_exit=True, kv_bucket=None, kv_quant=False,
-                  cross_impl="auto", gqa_self_impl="grouped"):
+                  cross_impl="auto", gqa_self_impl="auto"):
     """Batched greedy decode. Returns dict with:
       samples (B, S) int32 generated tokens,
       attach  (B, S) int32 pointer indices (-1 = none),
@@ -96,7 +96,7 @@ def greedy_decode(params, batch, dims: ModelDims, compute_dtype=jnp.bfloat16,
 def decode_from_memory(params, memory, memory_mask, dims: ModelDims,
                        compute_dtype=jnp.bfloat16, early_exit=True,
                        kv_quant=False, cross_impl="auto",
-                       gqa_self_impl="grouped"):
+                       gqa_self_impl="auto"):
     """KV-cached decode loop over a precomputed encoder memory — shared by
     the token-input model and the raster/ViT variant (`models/vit.py`).
     memory (B, Li, D); memory_mask (B, Li) bool True = padded key.
@@ -110,15 +110,22 @@ def decode_from_memory(params, memory, memory_mask, dims: ModelDims,
     elsewhere).
 
     gqa_self_impl (G > 1 only): how grouped-query self-attention contracts
-    against its kv-head-wide cache. "grouped" batches over (kv head, group)
-    with 5-D einsums; "expand" broadcasts K/V to all H query heads
-    in-register first, so the einsums take the exact MHA form whose TPU
-    schedule is known-good (HBM traffic is identical — the cache stays
-    kv-head-wide; the broadcast fuses into the contraction). Same math,
-    different XLA schedule; see tools/bench_fused.py --gqa-self.
+    against its kv-head-wide cache. "expand" broadcasts K/V to all H query
+    heads in-register, so the einsums take the exact MHA form whose TPU
+    schedule is known-good — HBM traffic is identical as long as XLA keeps
+    the broadcast in-register. "grouped" batches over (kv head, group)
+    with 5-D einsums. Measured (kv=2, Li=512, int8 KV, v5e, full 128-step
+    bound): at B=256 expand wins decisively — 1.896 vs 2.681 ms/step
+    (1054.7 vs 746.0 programs/s, also beating MHA's 897.3); at B=512 XLA
+    materializes the expanded K/V instead of fusing and expand craters
+    (~8 ms/step vs grouped's 5.24). "auto" (default) picks expand for
+    B <= 256 and grouped above — the measured crossover
+    (tools/bench_fused.py --gqa-self).
     """
     if cross_impl == "auto":
         cross_impl = "mxu" if jax.default_backend() == "tpu" else "xla"
+    if gqa_self_impl == "auto":
+        gqa_self_impl = "expand" if memory.shape[0] <= 256 else "grouped"
     if cross_impl in ("fused", "fused-interpret"):
         return _decode_fused(params, memory, memory_mask, dims,
                              compute_dtype=compute_dtype,
