@@ -26,6 +26,9 @@ def main():
     ap.add_argument("--block-rows", type=int, default=8)
     ap.add_argument("--gqa-self", default="grouped",
                     help="grouped | expand (GQA self-attention einsum form)")
+    ap.add_argument("--trace", default=None, metavar="DIR",
+                    help="capture a jax.profiler trace of one timed decode "
+                         "into DIR (feed to tools/trace_summary.py --gaps)")
     args = ap.parse_args()
 
     import jax
@@ -70,6 +73,9 @@ def main():
             out = fn()
             np.asarray(out["samples"])  # host sync
         dt = (time.perf_counter() - t0) / args.iters
+        if args.trace:
+            with jax.profiler.trace(args.trace):
+                np.asarray(fn()["samples"])
         print(json.dumps({
             "impl": impl, "batch": B, "li": Li, "kv_head": dims.kv_heads,
             "ms_per_decode": round(dt * 1e3, 2),
