@@ -66,10 +66,10 @@ def precompute_cross_kv(params, memory, dims: ModelDims, compute_dtype):
 
 @partial(jax.jit, static_argnames=("dims", "compute_dtype", "early_exit",
                                    "kv_bucket", "kv_quant", "cross_impl",
-                                   "gqa_self_impl"))
+                                   "gqa_self_impl", "self_quant"))
 def greedy_decode(params, batch, dims: ModelDims, compute_dtype=jnp.bfloat16,
                   early_exit=True, kv_bucket=None, kv_quant=False,
-                  cross_impl="auto", gqa_self_impl="auto"):
+                  cross_impl="auto", gqa_self_impl="auto", self_quant=None):
     """Batched greedy decode. Returns dict with:
       samples (B, S) int32 generated tokens,
       attach  (B, S) int32 pointer indices (-1 = none),
@@ -90,13 +90,14 @@ def greedy_decode(params, batch, dims: ModelDims, compute_dtype=jnp.bfloat16,
                               compute_dtype=compute_dtype,
                               early_exit=early_exit, kv_quant=kv_quant,
                               cross_impl=cross_impl,
-                              gqa_self_impl=gqa_self_impl)
+                              gqa_self_impl=gqa_self_impl,
+                              self_quant=self_quant)
 
 
 def decode_from_memory(params, memory, memory_mask, dims: ModelDims,
                        compute_dtype=jnp.bfloat16, early_exit=True,
                        kv_quant=False, cross_impl="auto",
-                       gqa_self_impl="auto"):
+                       gqa_self_impl="auto", self_quant=None):
     """KV-cached decode loop over a precomputed encoder memory — shared by
     the token-input model and the raster/ViT variant (`models/vit.py`).
     memory (B, Li, D); memory_mask (B, Li) bool True = padded key.
@@ -108,6 +109,14 @@ def decode_from_memory(params, memory, memory_mask, dims: ModelDims,
     fallback, any backend), "fused-interpret"/"kernel-interpret" (Pallas
     interpret mode, for CPU parity tests), or "auto" (mxu on TPU, xla
     elsewhere).
+
+    self_quant: int8-quantize the SELF K/V cache (None = follow kv_quant,
+    the historical coupling). The self cache is only ~50 MB/step of the
+    ~290 MB decode stream but its int8 path adds ~50 small VPU ops per
+    step (per-token quantize + 2 extra cache-scale update_slices + score/
+    weight scale folds x 6 layers); on a schedule-bound loop the op-count
+    cost can exceed the traffic saving — decouple to measure
+    (tools/bench_fused.py --self-quant).
 
     gqa_self_impl (G > 1 only): how grouped-query self-attention contracts
     against its kv-head-wide cache. "expand" broadcasts K/V to all H query
@@ -285,7 +294,9 @@ def decode_from_memory(params, memory, memory_mask, dims: ModelDims,
     # (self-attention keeps the per-head einsum form: with only S=128 keys
     # it is already near its traffic floor, and a measured block-diagonal
     # variant was slower — tools/bench_decode_variants.py)
-    self_quant = kv_quant and use_mxu
+    if self_quant is None:
+        self_quant = kv_quant
+    self_quant = self_quant and use_mxu
     if self_quant:
         # int8 self-KV with one scale per appended token (finer than the
         # cross-KV per-row scales). Scales fold OUTSIDE the dots: the K

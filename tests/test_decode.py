@@ -146,3 +146,14 @@ def test_cross_mxu_int8_close(params, inputs):
                         kv_quant=True, cross_impl="mxu")
     a, b = np.asarray(xla["samples"]), np.asarray(mxu["samples"])
     assert (a == b).mean() > 0.95, (a != b).mean()
+
+
+def test_self_quant_off_close(params, inputs):
+    """self_quant=False keeps the self K/V cache exact while cross stays
+    int8 — tokens track the (never-self-quanted) XLA int8 path."""
+    xla = greedy_decode(params, inputs, DIMS, compute_dtype=jnp.float32,
+                        kv_quant=True, cross_impl="xla")
+    mxu = greedy_decode(params, inputs, DIMS, compute_dtype=jnp.float32,
+                        kv_quant=True, cross_impl="mxu", self_quant=False)
+    a, b = np.asarray(xla["samples"]), np.asarray(mxu["samples"])
+    assert (a == b).mean() > 0.95, (a != b).mean()

@@ -26,6 +26,9 @@ def main():
     ap.add_argument("--block-rows", type=int, default=8)
     ap.add_argument("--gqa-self", default="grouped",
                     help="grouped | expand (GQA self-attention einsum form)")
+    ap.add_argument("--self-quant", default="auto",
+                    choices=("auto", "on", "off"),
+                    help="int8 self-KV cache (auto = follow kv_quant)")
     ap.add_argument("--trace", default=None, metavar="DIR",
                     help="capture a jax.profiler trace of one timed decode "
                          "into DIR (feed to tools/trace_summary.py --gaps)")
@@ -54,9 +57,11 @@ def main():
     S = dims.max_output_length
 
     for impl in args.impls.split(","):
+        sq = {"auto": None, "on": True, "off": False}[args.self_quant]
         kw = (dict(cross_impl="fused")
               if impl == "fused" else dict(cross_impl=impl, kv_quant=True,
-                                           gqa_self_impl=args.gqa_self))
+                                           gqa_self_impl=args.gqa_self,
+                                           self_quant=sq))
         # decode_from_memory is not itself jitted: wrap it, or every timed
         # call pays a full retrace+lower (~1.5 s)
         jitted = jax.jit(lambda p, m, k: decode_from_memory(
