@@ -103,6 +103,14 @@ def main():
     # measured F1 impact on a trained model is 2e-4 (see DEVIATIONS.md)
     cached_pps, cached_dt = run(greedy_decode, iters=3,
                                 kv_bucket=bucket, kv_quant=True)
+    if os.environ.get("BENCH_TRACE"):
+        # profile one full encode+decode call (feed to tools/trace_summary)
+        wrapped = jax.jit(lambda p, b: greedy_decode(
+            p, b, dims, compute_dtype=jnp.bfloat16, early_exit=False,
+            kv_bucket=bucket, kv_quant=True))
+        wrapped(params, inputs)["samples"].block_until_ready()
+        with jax.profiler.trace(os.environ["BENCH_TRACE"]):
+            np.asarray(wrapped(params, inputs)["samples"])
     baseline_pps, _ = run(greedy_decode_nocache, iters=1)
 
     # HBM-roofline fraction of the decode loop from the analytic per-step

@@ -123,3 +123,19 @@ def test_fit_validate_test_checkpoint(dataset_dir, tmp_path):
     assert result.returncode == 0, result.stderr
     assert "f1" in result.stdout
     assert os.path.exists(os.path.join(trainer.log_dir, "metrics.json"))
+
+    # serving CLI: single info JSON -> prediction JSON + mesh, no GT needed
+    pred_out = tmp_path / "predict_out"
+    result = subprocess.run(
+        [sys.executable, os.path.join(os.path.dirname(__file__), "..",
+                                      "tools", "predict.py"),
+         "--cpu", "--ckpt", os.path.join(ckpt_dir, "best"),
+         "--info", str(dataset_dir / "infos" / "syn000.json"),
+         "--out", str(pred_out), "--mesh", "stl"],
+        capture_output=True, text=True)
+    assert result.returncode == 0, result.stderr
+    with open(pred_out / "syn000.json") as f:
+        pred_payload = json.load(f)
+    assert "prediction" in pred_payload and "attach" in pred_payload
+    if len(pred_payload["prediction"]) > 1:
+        assert os.path.exists(pred_out / "syn000.stl")
