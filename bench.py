@@ -9,11 +9,12 @@ win, so the benchmark measures:
 
     value       = shape programs decoded / second / chip (flagship model:
                   d=512, 6+6 layers, GQA kv=2 — the shipped checkpoint
-                  layout, which with the expand-form self-attention beats
-                  MHA at matched batch (1054.7 vs 897.3 prog/s, B=256) on
-                  top of its 4x smaller KV cache; realistic ~400-token
-                  inputs, full 128-step decode, no early exit, B=256 —
-                  the layout's measured throughput-optimal batch)
+                  layout; realistic ~400-token inputs, full 128-step
+                  decode, no early exit, B=512. The decode loop runs in
+                  the r3 persistent Pallas kernel — the whole loop in one
+                  launch, 2100 prog/s decode-only vs the XLA while_loop
+                  schedule's 1054.7 — with int8 cross-KV and bf16
+                  self-KV; BENCH_DECODE_IMPL=mxu benches the XLA path)
     vs_baseline = speedup over the reference-faithful no-cache decode
                   algorithm on the SAME chip, same batch/weights/steps
                   (the baseline, like the reference, processes the full
@@ -73,12 +74,22 @@ def main():
             restored = ckptr.restore(os.path.abspath(ckpt))
         params = jax.tree.map(jnp.asarray, restored["params"])
 
-    # Throughput-optimal batch is layout-dependent (tools/bench_fused.py):
-    # GQA kv=2 peaks at B=256 with the expand-form self-attention (1054.7
-    # prog/s decode-only — beyond B=256 XLA materializes the expanded K/V
-    # and the win inverts); MHA amortizes per-step weight reads up to
-    # B=512 (921 vs 893 prog/s decode-only).
-    default_batch = "256" if kv_head and kv_head < 8 else "512"
+    # Decode impl: the r3 persistent Pallas kernel (the whole 128-step
+    # loop in ONE launch, ops/persistent_decode.py) doubles GQA decode
+    # throughput over the XLA while_loop schedule (2100 vs 1054.7 prog/s
+    # decode-only at the best batch); MHA's 4x-larger cross-KV keeps it
+    # BW-bound where the XLA schedule is already fine, so MHA stays on
+    # the mxu path. BENCH_DECODE_IMPL=mxu|persistent overrides.
+    decode_impl = os.environ.get(
+        "BENCH_DECODE_IMPL", "persistent" if kv_head < 8 else "mxu")
+
+    # Throughput-optimal batch is layout- and impl-dependent
+    # (tools/bench_fused.py, tools/compile_persistent.py): GQA mxu peaks
+    # at B=256 with the expand-form self-attention (beyond B=256 XLA
+    # materializes the expanded K/V and the win inverts); the persistent
+    # kernel and MHA both amortize per-step weight reads up to B=512.
+    default_batch = ("512" if decode_impl == "persistent"
+                     else "256" if kv_head and kv_head < 8 else "512")
     batch_size = int(os.environ.get("BENCH_BATCH", default_batch))
     batch_np = _example_batch(cfg, batch_size)
     inputs = {k: jnp.asarray(v) for k, v in batch_np.items()
@@ -100,9 +111,11 @@ def main():
         return batch_size / dt, dt
 
     # int8 cross-K/V halves the decode loop's dominant HBM traffic;
-    # measured F1 impact on a trained model is 2e-4 (see DEVIATIONS.md)
+    # measured F1 impact on a trained model is 2e-4 (see DEVIATIONS.md).
+    # The persistent kernel has int8 cross / bf16 self semantics built in.
     cached_pps, cached_dt = run(greedy_decode, iters=3,
-                                kv_bucket=bucket, kv_quant=True)
+                                kv_bucket=bucket, kv_quant=True,
+                                cross_impl=decode_impl)
     if os.environ.get("BENCH_TRACE"):
         # profile one full encode+decode call (feed to tools/trace_summary)
         wrapped = jax.jit(lambda p, b: greedy_decode(
@@ -125,9 +138,12 @@ def main():
     dec_params = sum(int(np.prod(np.asarray(v).shape))
                      for k in ("decoder", "heads")
                      for v in jax.tree.leaves(params[k]))
+    selfkv_bytes = (2 * Ld * B * S * Dkv * 2         # self K+V bf16
+                    if decode_impl == "persistent"
+                    else 2 * Ld * B * S * Dkv        # self K+V int8
+                    + 2 * Ld * B * S * dims.kv_heads * 4)  # + f32 scales
     step_bytes = (2 * Ld * B * bucket * Dkv          # cross K+V int8
-                  + 2 * Ld * B * S * Dkv             # self K+V int8
-                  + 2 * Ld * B * S * dims.kv_heads * 4  # self K/V scales f32
+                  + selfkv_bytes
                   + dec_params * 2                   # weights bf16
                   + B * S * D * 2)                   # h_cache (pointer dot)
     # conservative: whole-program wall (encoder included, no subtraction)
@@ -139,6 +155,7 @@ def main():
         "unit": "programs/s",
         "vs_baseline": round(cached_pps / baseline_pps, 2),
         "batch": batch_size,
+        "decode_impl": decode_impl,
         "util_frac": round(util, 3),
     }))
 

@@ -103,12 +103,14 @@ def decode_from_memory(params, memory, memory_mask, dims: ModelDims,
     memory (B, Li, D); memory_mask (B, Li) bool True = padded key.
 
     cross_impl: "mxu" (block-diagonal-query MXU einsums, the XLA fast
-    path), "fused" (whole-decoder-layer Pallas kernel, `ops/fused_decode.py`
-    — 6 kernel launches per step instead of ~170 HLO ops), "kernel" (Pallas
-    fused cross-attention only, `ops/cross_decode.py`), "xla" (einsum
-    fallback, any backend), "fused-interpret"/"kernel-interpret" (Pallas
-    interpret mode, for CPU parity tests), or "auto" (mxu on TPU, xla
-    elsewhere).
+    path), "persistent" (gen-3 Pallas kernel owning the WHOLE decode loop
+    in one launch, `ops/persistent_decode.py` — fastest full-bound path,
+    no early exit), "fused" (whole-decoder-layer Pallas kernel,
+    `ops/fused_decode.py` — 6 kernel launches per step instead of ~170
+    HLO ops), "kernel" (Pallas fused cross-attention only,
+    `ops/cross_decode.py`), "xla" (einsum fallback, any backend),
+    "*-interpret" (Pallas interpret mode, for CPU parity tests), or
+    "auto" (mxu on TPU, xla elsewhere).
 
     self_quant: int8-quantize the SELF K/V cache (None = follow kv_quant,
     the historical coupling). The self cache is only ~50 MB/step of the
@@ -135,6 +137,24 @@ def decode_from_memory(params, memory, memory_mask, dims: ModelDims,
         cross_impl = "mxu" if jax.default_backend() == "tpu" else "xla"
     if gqa_self_impl == "auto":
         gqa_self_impl = "expand" if memory.shape[0] <= 256 else "grouped"
+    if cross_impl in ("persistent", "persistent-interpret"):
+        # gen-3 Pallas kernel: the ENTIRE greedy loop in one launch
+        # (ops/persistent_decode.py). Always runs the full static bound
+        # (early_exit is ignored — a persistent kernel cannot abort the
+        # launch); int8 cross-KV + bf16 self-KV semantics are built in
+        # (kv_quant/self_quant flags are ignored). Measured (v5e, kv=2,
+        # B=256/512, Li=512): 1.06 / 1.9 ms per step = 1891 / 2100
+        # programs/s decode-only vs the mxu path's 1.896 ms (1054.7) —
+        # the win that two per-step fused-kernel generations couldn't get.
+        from plankassembly_tpu.ops.persistent_decode import (
+            persistent_greedy_decode,
+        )
+        B_ = memory.shape[0]
+        rb = next(r for r in (16, 8, 4, 2, 1) if B_ % r == 0)
+        return persistent_greedy_decode(
+            params, memory, memory_mask, dims, block_rows=rb,
+            compute_dtype=compute_dtype,
+            interpret=(cross_impl == "persistent-interpret"))
     if cross_impl in ("fused", "fused-interpret"):
         return _decode_fused(params, memory, memory_mask, dims,
                              compute_dtype=compute_dtype,

@@ -59,6 +59,21 @@ def test_persistent_matches_mxu_f32(kv):
                                   np.asarray(ref["attach"])[same])
 
 
+def test_dispatch_persistent_interpret():
+    """decode_from_memory(cross_impl='persistent-interpret') routes to the
+    kernel (decode.py dispatch) and matches the mxu reference at f32."""
+    params, dims, memory, mask = _setup(kv=1)
+    ref = _ref(params, dims, memory, mask, jnp.float32)
+    got = decode_from_memory(params, memory, mask, dims,
+                             compute_dtype=jnp.float32,
+                             early_exit=False,
+                             cross_impl="persistent-interpret")
+    agree = float((np.asarray(got["samples"])
+                   == np.asarray(ref["samples"])).mean())
+    assert agree >= 0.99, agree
+    assert int(got["num_steps"]) == dims.max_output_length
+
+
 def test_persistent_bf16_close():
     params, dims, memory, mask = _setup()
     ref = _ref(params, dims, memory, mask, jnp.bfloat16)

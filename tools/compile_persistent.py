@@ -24,6 +24,9 @@ def main():
     ap.add_argument("--block-rows", type=int, default=8)
     ap.add_argument("--run", action="store_true")
     ap.add_argument("--iters", type=int, default=3)
+    ap.add_argument("--parity", action="store_true",
+                    help="also run the XLA mxu decode path on the same "
+                         "inputs and report token agreement")
     args = ap.parse_args()
 
     cfg = Config()
@@ -66,6 +69,19 @@ def main():
         print(f"RUN: {dt * 1e3:.1f} ms total, {dt / S * 1e3:.3f} ms/step, "
               f"{B / dt:.1f} prog/s (decode-only, full {S}-step bound)",
               flush=True)
+
+        if args.parity:
+            from plankassembly_tpu.decode import decode_from_memory
+            ref = jax.jit(lambda p, m, mm: decode_from_memory(
+                p, m, mm, dims, compute_dtype=jnp.bfloat16, kv_quant=True,
+                self_quant=False, early_exit=False, cross_impl="mxu"))(
+                    params, mem_v, mask_v)
+            a = np.asarray(out["samples"])
+            b = np.asarray(ref["samples"])
+            agree = float((a == b).mean())
+            rows = float((a == b).all(axis=-1).mean())
+            print(f"PARITY vs mxu: token agree {agree:.4f}, "
+                  f"identical rows {rows:.3f}", flush=True)
 
 
 if __name__ == "__main__":

@@ -17,9 +17,21 @@ import argparse
 import json
 import time
 
+import numpy as np
+
 # v5e peaks (public spec): 197 bf16 TFLOP/s, 819 GB/s HBM BW
 PEAKS = {"tpu": {"flops": 197e12, "bytes": 819e9},
          "cpu": {"flops": 1e11, "bytes": 2e10}}  # rough, for smoke runs
+
+
+def _sync(out):
+    """Force execution completion via a host transfer of the smallest
+    output leaf — `block_until_ready` returns early on remote-PJRT
+    backends (CLAUDE.md), producing absurd async-dispatch timings."""
+    import jax
+    leaf = min((l for l in jax.tree.leaves(out) if hasattr(l, "size")),
+               key=lambda x: x.size)
+    np.asarray(leaf)
 
 
 def report(name, fn, args, iters=3, trace_dir=None):
@@ -34,15 +46,15 @@ def report(name, fn, args, iters=3, trace_dir=None):
     bytes_accessed = float(cost.get("bytes accessed", 0.0))
 
     out = compiled(*args)
-    jax.block_until_ready(out)
+    _sync(out)
     if trace_dir:
         with jax.profiler.trace(f"{trace_dir}/{name}"):
             out = compiled(*args)
-            jax.block_until_ready(out)
+            _sync(out)
     t0 = time.perf_counter()
     for _ in range(iters):
         out = compiled(*args)
-        jax.block_until_ready(out)
+        _sync(out)
     dt = (time.perf_counter() - t0) / iters
 
     backend = jax.default_backend()
