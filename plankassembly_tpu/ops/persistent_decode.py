@@ -19,6 +19,17 @@ scatter loops ate the fusion win. This generation changes both:
     run as full-batch (B-row) matmuls once per layer, not per 8-row
     block — M=8 matmuls waste 15/16 of the MXU sublanes, M=B none.
 
+MEASURED (v5e-1, flagship dims, Li=512, full 128-step bound,
+tools/compile_persistent.py): kv=2 B=512 rb=16 1.835 ms/step = 2179.8
+programs/s decode-only — 2.07x the best XLA while_loop schedule
+(1.896 ms at its own optimal batch); B=256 rb=16 1.058 ms (1890.7).
+MHA (kv=8) measures 2.364 ms and LOSES to XLA's 2.229: its 4x-larger
+int8 cross-KV stream is BW-bound, so the schedule win doesn't apply —
+this kernel is the GQA serving path. rb=32 regresses (2.338 ms);
+B=1024 hung pre-first-run (>15 min, unmeasured). Full sweep in
+results/RUNS_r3.md; on-chip bf16 token agreement vs mxu 95.3%
+(rounding-tie divergence only).
+
 Semantics match `decode.greedy_decode(kv_quant=True, self_quant=False,
 early_exit=False)` at the token level (tests/test_persistent_decode.py):
 int8 per-(layer,row,kv-head) cross K/V with the K scale folded into the
