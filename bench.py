@@ -27,12 +27,85 @@ only helps the cached path). Timing syncs via a device->host transfer and
 asserts the step count, so async dispatch can't fake the numbers.
 
 Prints ONE JSON line.
+
+Resilience (round 4, after BENCH_r03.json shipped rc=1): the axon
+tunnel/backend has two documented transients — a backend-init failure
+("Unable to initialize backend 'axon'") and a self-recovering ~25-min
+device wedge after a killed job, during which enumeration is slow and
+the first compute hangs. JAX caches a failed backend init for the
+process lifetime, so retrying in-process is useless; instead bench.py
+runs as a supervisor that (1) probes the device with a tiny-matmul
+subprocess, (2) runs the real benchmark in an inner subprocess
+(`bench.py --inner`), and (3) retries both with backoff for up to
+BENCH_MAX_WAIT seconds (default 2700 — one full wedge recovery plus a
+cold server-side compile). Only the final JSON line is forwarded to
+stdout. BENCH_NO_RETRY=1 restores the old one-shot behavior.
 """
 import json
 import os
+import subprocess
+import sys
 import time
 
 import numpy as np
+
+_PROBE = """
+import jax, numpy as np, jax.numpy as jnp
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+r = np.asarray(jnp.ones((128, 128)) @ jnp.ones((128, 128)))
+assert float(r[0, 0]) == 128.0, r[0, 0]
+"""
+
+
+def _supervise():
+    budget = float(os.environ.get("BENCH_MAX_WAIT", "2700"))
+    deadline = time.time() + budget
+    delay = 30.0
+    attempt = 0
+    while True:
+        attempt += 1
+        # 1) cheap device probe: catches both init failure and the wedge
+        #    without risking the real run. Timeout kills happen at
+        #    init/enumeration (idle), which does not wedge the device.
+        try:
+            probe = subprocess.run(
+                [sys.executable, "-c", _PROBE], capture_output=True,
+                text=True, timeout=600)
+        except subprocess.TimeoutExpired:
+            probe = None
+            print(f"# attempt {attempt}: device probe timed out",
+                  file=sys.stderr)
+        if probe is not None and probe.returncode == 0:
+            # 2) the real run, generous timeout: a NEW program variant
+            #    compiles server-side in ~9 min (CLAUDE.md); cache hits
+            #    are seconds.
+            try:
+                inner = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__), "--inner"],
+                    capture_output=True, text=True, timeout=2400)
+            except subprocess.TimeoutExpired:
+                print(f"# attempt {attempt}: inner run timed out",
+                      file=sys.stderr)
+                inner = None
+            if inner is not None:
+                sys.stderr.write(inner.stderr)
+                lines = [l for l in inner.stdout.splitlines()
+                         if l.startswith("{")]
+                if inner.returncode == 0 and lines:
+                    print(lines[-1])
+                    return 0
+                print(f"# attempt {attempt}: inner rc={inner.returncode}",
+                      file=sys.stderr)
+                sys.stderr.write(inner.stdout)
+        elif probe is not None:
+            print(f"# attempt {attempt}: device probe failed\n"
+                  + probe.stderr[-2000:], file=sys.stderr)
+        if time.time() + delay > deadline:
+            print("# bench: device/bench unavailable within "
+                  f"BENCH_MAX_WAIT={budget:.0f}s", file=sys.stderr)
+            return 1
+        time.sleep(delay)
+        delay = min(delay * 2, 300.0)
 
 
 def main():
@@ -49,10 +122,12 @@ def main():
     import dataclasses
     cfg = Config()
     # flagship layout = GQA kv=2 (the shipped checkpoints; see module doc).
-    # BENCH_KV_HEAD=8 benches the reference MHA layout instead.
+    # BENCH_KV_HEAD=8 (or 0, the config's MHA encoding) benches the
+    # reference MHA layout instead.
     kv_head = int(os.environ.get("BENCH_KV_HEAD", "2"))
     cfg = dataclasses.replace(
         cfg, MODEL=dataclasses.replace(cfg.MODEL, NUM_KV_HEAD=kv_head))
+    is_gqa = 0 < kv_head < 8  # NUM_KV_HEAD=0 means MHA, same as 8
 
     # Optional: BENCH_CKPT=<orbax dir> benchmarks a trained checkpoint with
     # realistic early-exit decoding instead of random weights at the full
@@ -81,7 +156,7 @@ def main():
     # BW-bound where the XLA schedule is already fine, so MHA stays on
     # the mxu path. BENCH_DECODE_IMPL=mxu|persistent overrides.
     decode_impl = os.environ.get(
-        "BENCH_DECODE_IMPL", "persistent" if kv_head < 8 else "mxu")
+        "BENCH_DECODE_IMPL", "persistent" if is_gqa else "mxu")
 
     # Throughput-optimal batch is layout- and impl-dependent
     # (tools/bench_fused.py, tools/compile_persistent.py): GQA mxu peaks
@@ -89,7 +164,7 @@ def main():
     # materializes the expanded K/V and the win inverts); the persistent
     # kernel and MHA both amortize per-step weight reads up to B=512.
     default_batch = ("512" if decode_impl == "persistent"
-                     else "256" if kv_head and kv_head < 8 else "512")
+                     else "256" if is_gqa else "512")
     batch_size = int(os.environ.get("BENCH_BATCH", default_batch))
     batch_np = _example_batch(cfg, batch_size)
     inputs = {k: jnp.asarray(v) for k, v in batch_np.items()
@@ -117,10 +192,11 @@ def main():
                                 kv_bucket=bucket, kv_quant=True,
                                 cross_impl=decode_impl)
     if os.environ.get("BENCH_TRACE"):
-        # profile one full encode+decode call (feed to tools/trace_summary)
+        # profile one full encode+decode call of the SAME impl being
+        # benchmarked (feed to tools/trace_summary)
         wrapped = jax.jit(lambda p, b: greedy_decode(
             p, b, dims, compute_dtype=jnp.bfloat16, early_exit=False,
-            kv_bucket=bucket, kv_quant=True))
+            kv_bucket=bucket, kv_quant=True, cross_impl=decode_impl))
         wrapped(params, inputs)["samples"].block_until_ready()
         with jax.profiler.trace(os.environ["BENCH_TRACE"]):
             np.asarray(wrapped(params, inputs)["samples"])
@@ -161,4 +237,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if "--inner" in sys.argv or os.environ.get("BENCH_NO_RETRY"):
+        main()
+    else:
+        sys.exit(_supervise())

@@ -12,6 +12,7 @@ Any other ``--dot.path value`` pair is applied as a config override.
 """
 from __future__ import annotations
 
+import os
 import sys
 
 from plankassembly_tpu.config import load_config
@@ -49,10 +50,15 @@ def main(trainer_cls, argv: list[str] | None = None):
     subcommand, config_path, ckpt_path, overrides = parse_args(argv)
     cfg = load_config(config_path, overrides)
 
-    if cfg.trainer.accelerator == "cpu":
+    if cfg.trainer.accelerator == "cpu" or os.environ.get("PLANK_FORCE_CPU"):
         # debugging/smoke runs off-accelerator; must be set before any jax
         # backend use (env JAX_PLATFORMS is overridden on hosts whose site
-        # config force-registers an accelerator plugin, so set it here)
+        # config force-registers an accelerator plugin, so set it here).
+        # PLANK_FORCE_CPU=1 forces this regardless of the config: without
+        # it, a config defaulting to `accelerator: tpu` makes
+        # `jax.devices()` initialize the accelerator plugin, which blocks
+        # indefinitely when the device tunnel is down — the long-standing
+        # "CLI fit hangs at startup" flake was exactly this.
         import jax
         jax.config.update("jax_platforms", "cpu")
 

@@ -121,6 +121,11 @@ class TrainerConfig:
     # decode graph (cached persistently). Finer quanta cut cross-attention
     # HBM reads on short length-sorted batches.
     kv_quantum: int = 128
+    # Decode schedule for eval/test: "auto" (XLA mxu path on TPU),
+    # "persistent" (single-launch Pallas kernel, ops/persistent_decode.py
+    # — the GQA serving path; early-exits in-launch since r4), "mxu",
+    # "xla". Persistent implies int8 cross-KV / bf16 self-KV semantics.
+    decode_impl: str = "auto"
     # Packed-sample cache (data/cache.py): pack each sample once into
     # memmaps under <default_root_dir>/.sample_cache; later epochs and
     # val/test reruns skip JSON+packing (aug samples always pack fresh).

@@ -114,15 +114,15 @@ def _build(path: str, n: int, sample_fn, progress_every: int):
 
 
 def split_fingerprint(root: str, info_files) -> list:
-    """Digest parts for a dataset: file list, the info directory's mtime,
-    and a sampled set of per-file (size, mtime) stats.
+    """Digest parts for a dataset: file list plus every member's
+    (size, mtime) stat.
 
     The directory mtime alone misses JSON files rewritten in place (same
-    names ⇒ same digest ⇒ a stale packed cache served silently); stat'ing
-    all 26k entries costs more than a rebuild check should. Compromise:
-    stat a deterministic ~64-file sample (first, last, evenly strided) —
-    any regeneration of the dataset touches every file's mtime, so a
-    rewrite is caught by any sampled member."""
+    names ⇒ same digest ⇒ a stale packed cache served silently), and the
+    r1–r3 ~64-file sampled stat missed PARTIAL rewrites that touched only
+    non-sampled files (e.g. re-running prepare_info on a subset). A stat
+    is ~2 µs on Linux — 26k of them cost ~50 ms, cheap for a rebuild
+    check — so stat them all; no file is opened."""
     try:
         dir_mtime = os.stat(root).st_mtime_ns
     except OSError:
@@ -130,16 +130,9 @@ def split_fingerprint(root: str, info_files) -> list:
     h = hashlib.sha256()
     for name in info_files:
         h.update(name.encode())
-        h.update(b"\0")
-    n = len(info_files)
-    stride = max(1, n // 64)
-    sample = list(range(0, n, stride))
-    if n and (n - 1) not in sample:
-        sample.append(n - 1)
-    for i in sample:
         try:
-            st = os.stat(os.path.join(root, info_files[i]))
-            h.update(f"{i}:{st.st_size}:{st.st_mtime_ns}".encode())
+            st = os.stat(os.path.join(root, name))
+            h.update(f":{st.st_size}:{st.st_mtime_ns}\0".encode())
         except OSError:
-            h.update(f"{i}:missing".encode())
+            h.update(b":missing\0")
     return [root, dir_mtime, h.hexdigest()]

@@ -24,6 +24,7 @@ illegal pointer slots are *filled with eps=1e-6* rather than zero
 from __future__ import annotations
 
 import math
+import warnings
 from functools import partial
 
 import jax
@@ -68,7 +69,7 @@ def precompute_cross_kv(params, memory, dims: ModelDims, compute_dtype):
                                    "kv_bucket", "kv_quant", "cross_impl",
                                    "gqa_self_impl", "self_quant"))
 def greedy_decode(params, batch, dims: ModelDims, compute_dtype=jnp.bfloat16,
-                  early_exit=True, kv_bucket=None, kv_quant=False,
+                  early_exit=True, kv_bucket=None, kv_quant=None,
                   cross_impl="auto", gqa_self_impl="auto", self_quant=None):
     """Batched greedy decode. Returns dict with:
       samples (B, S) int32 generated tokens,
@@ -96,7 +97,7 @@ def greedy_decode(params, batch, dims: ModelDims, compute_dtype=jnp.bfloat16,
 
 def decode_from_memory(params, memory, memory_mask, dims: ModelDims,
                        compute_dtype=jnp.bfloat16, early_exit=True,
-                       kv_quant=False, cross_impl="auto",
+                       kv_quant=None, cross_impl="auto",
                        gqa_self_impl="auto", self_quant=None):
     """KV-cached decode loop over a precomputed encoder memory — shared by
     the token-input model and the raster/ViT variant (`models/vit.py`).
@@ -133,19 +134,38 @@ def decode_from_memory(params, memory, memory_mask, dims: ModelDims,
     B <= 256 and grouped above — the measured crossover
     (tools/bench_fused.py --gqa-self).
     """
+    explicit_no_quant = kv_quant is False  # None = unspecified default
+    kv_quant = bool(kv_quant)
     if cross_impl == "auto":
         cross_impl = "mxu" if jax.default_backend() == "tpu" else "xla"
     if gqa_self_impl == "auto":
         gqa_self_impl = "expand" if memory.shape[0] <= 256 else "grouped"
     if cross_impl in ("persistent", "persistent-interpret"):
         # gen-3 Pallas kernel: the ENTIRE greedy loop in one launch
-        # (ops/persistent_decode.py). Always runs the full static bound
-        # (early_exit is ignored — a persistent kernel cannot abort the
-        # launch); int8 cross-KV + bf16 self-KV semantics are built in
-        # (kv_quant/self_quant flags are ignored). Measured (v5e, kv=2,
-        # B=256/512, Li=512): 1.06 / 1.9 ms per step = 1891 / 2100
-        # programs/s decode-only vs the mxu path's 1.896 ms (1054.7) —
-        # the win that two per-step fused-kernel generations couldn't get.
+        # (ops/persistent_decode.py); int8 cross-KV + bf16 self-KV
+        # semantics are built in (kv_quant/self_quant flags are ignored —
+        # warn below so callers asking for full precision notice).
+        # Measured (v5e, kv=2, B=256/512, Li=512): 1.06 / 1.9 ms per step
+        # = 1891 / 2100 programs/s decode-only vs the mxu path's 1.896 ms
+        # (1054.7) — the win that two per-step fused-kernel generations
+        # couldn't get.
+        B_ = memory.shape[0]
+        if B_ > 512:
+            # B=1024 reproducibly hung the Mosaic kernel >15 min before
+            # its first run completed, and killing it wedged the device
+            # ~25 min (CLAUDE.md r3). Until root-caused, large batches
+            # take the XLA mxu schedule instead of risking the hang.
+            warnings.warn(
+                f"persistent decode is unvalidated for B={B_} > 512 "
+                "(B=1024 hangs the Mosaic compile/run); falling back to "
+                "cross_impl='mxu'", stacklevel=2)
+            cross_impl = "mxu"
+        elif explicit_no_quant or self_quant:
+            warnings.warn(
+                "cross_impl='persistent' has int8 cross-KV + bf16 self-KV "
+                "semantics built in; kv_quant=False / self_quant=True are "
+                "ignored", stacklevel=2)
+    if cross_impl in ("persistent", "persistent-interpret"):
         from plankassembly_tpu.ops.persistent_decode import (
             persistent_greedy_decode,
         )
@@ -153,7 +173,7 @@ def decode_from_memory(params, memory, memory_mask, dims: ModelDims,
         rb = next(r for r in (16, 8, 4, 2, 1) if B_ % r == 0)
         return persistent_greedy_decode(
             params, memory, memory_mask, dims, block_rows=rb,
-            compute_dtype=compute_dtype,
+            compute_dtype=compute_dtype, early_exit=early_exit,
             interpret=(cross_impl == "persistent-interpret"))
     if cross_impl in ("fused", "fused-interpret"):
         return _decode_fused(params, memory, memory_mask, dims,

@@ -68,7 +68,8 @@ def _rup(x, m):
     return (x + m - 1) // m * m
 
 
-def _make_kernel(*, B, RB, H, kvH, Dh, S, Li, L, F, D, V, VP, dof, cd):
+def _make_kernel(*, B, RB, H, kvH, Dh, S, Li, L, F, D, V, VP, dof, cd,
+                 END, early_exit):
     NB = B // RB
     NR = RB * H
     G = H // kvH
@@ -81,11 +82,11 @@ def _make_kernel(*, B, RB, H, kvH, Dh, S, Li, L, F, D, V, VP, dof, cd):
                ck_h, cv_h, ks_h, vs_h,
                mbias_ref, vtab_hi_ref, vtab_lo_ref, pos_ref, struct_ref,
                ksel_i, vsel_i, h_i,
-               samples_ref, attach_ref, ksel_o, vsel_o, h_o,
+               samples_ref, attach_ref, ksel_o, vsel_o, h_o, steps_ref,
                wbuf1, wf1, wf2, bbuf, hwhi, hwlo, hb,
                ckbuf, cvbuf, ksbuf, vsbuf, skbuf, svbuf, hbuf,
                x_all, outf, attf, qkv_all, a_all, q2_all, z_all,
-               pl_all,
+               pl_all, donec,
                sems):
         iota = jax.lax.broadcasted_iota
 
@@ -98,6 +99,8 @@ def _make_kernel(*, B, RB, H, kvH, Dh, S, Li, L, F, D, V, VP, dof, cd):
         pltpu.make_async_copy(hb_h, hb, sems.at[1]).wait()
         outf[...] = jnp.zeros((B, S), f32)
         attf[...] = jnp.full((B, S), -1.0, f32)
+        donec[0] = 0   # 1 once every row has emitted END (early-exit mode)
+        donec[1] = 0   # steps actually executed (num_steps parity)
 
         # static placement matrices (Mosaic folds these iota constants)
         ci0 = iota(jnp.int32, (D, Dkv), 0)
@@ -140,7 +143,7 @@ def _make_kernel(*, B, RB, H, kvH, Dh, S, Li, L, F, D, V, VP, dof, cd):
             return jnp.dot(rowmerge.astype(cd), o_rows.astype(cd),
                            preferred_element_type=f32).astype(cd)
 
-        def step_body(t, carry):
+        def run_step(t):
             # ================= embedding =================
             lane_s = iota(jnp.int32, (B, S), 1)
             prev = jnp.sum(jnp.where(lane_s == t - 1, outf[...], 0.0),
@@ -453,22 +456,55 @@ def _make_kernel(*, B, RB, H, kvH, Dh, S, Li, L, F, D, V, VP, dof, cd):
             att_t = jnp.where(is_ptr, ptr.astype(f32), -1.0)
             outf[...] = jnp.where(lane_s == t, token, outf[...])
             attf[...] = jnp.where(lane_s == t, att_t, attf[...])
+            donec[1] = t + 1
+            if early_exit:
+                # a row is done iff END appears anywhere in its emitted
+                # prefix (unwritten positions stay 0.0; END = 512 != 0,
+                # so reading the whole buffer is exact). Matches the XLA
+                # path's `done |= (token == dims.end)` accumulation.
+                endhit = jnp.where(outf[...] == float(END), 1.0, 0.0)
+                ndone = jnp.sum(jnp.max(endhit, axis=-1, keepdims=True))
+                donec[0] = (ndone == float(B)).astype(jnp.int32)
+
+        def step_body(t, carry):
+            # early-exit mode: once every row has emitted END the
+            # remaining iterations predicate away (µs-scale fori overhead
+            # each) — the in-launch analogue of the XLA while_loop's
+            # `(t < S) & ~all(done)` condition and the reference's
+            # models.py:306-307 break.
+            if early_exit:
+                @pl.when(donec[0] == 0)
+                def _active():
+                    run_step(t)
+            else:
+                run_step(t)
             return carry
 
         jax.lax.fori_loop(0, S, step_body, 0)
         samples_ref[...] = outf[...].astype(jnp.int32)
         attach_ref[...] = attf[...].astype(jnp.int32)
+        steps_ref[0, 0] = donec[1]
 
     return kernel
 
 
 @functools.partial(jax.jit, static_argnames=("dims", "block_rows",
-                                             "compute_dtype", "interpret"))
+                                             "compute_dtype", "early_exit",
+                                             "interpret"))
 def persistent_greedy_decode(params, memory, memory_mask, dims, *,
                              block_rows=8, compute_dtype=jnp.bfloat16,
-                             interpret=False):
+                             early_exit=False, interpret=False):
     """Greedy decode with the persistent kernel. Same output contract as
-    `decode.greedy_decode`; always runs the full static bound."""
+    `decode.greedy_decode`.
+
+    early_exit=False (benchmark mode) runs the full static bound —
+    bit-identical to the r3 kernel. early_exit=True keeps the single
+    launch but predicates each step on an SMEM done flag: once every row
+    has emitted END, the remaining fori_loop iterations are empty
+    branches (µs each vs ~1.8 ms of compute), recovering the reference's
+    early-exit serving semantics (`plankassembly/models.py:306-307`)
+    inside the persistent launch; `num_steps` then reports the true trip
+    count like the XLA while_loop path."""
     from plankassembly_tpu.decode import precompute_cross_kv
     from plankassembly_tpu.models.model import pointer_structure_mask
 
@@ -486,6 +522,14 @@ def persistent_greedy_decode(params, memory, memory_mask, dims, *,
     RB = block_rows
     if B % RB:
         raise ValueError(f"persistent decode needs B % {RB} == 0, got {B}")
+    if B > 512:
+        # B=1024 reproducibly hung >15 min before its first run completed
+        # and killing it wedged the device ~25 min (results/RUNS_r3.md);
+        # refuse rather than let any input wedge the chip. decode.py's
+        # dispatch falls back to the mxu path above this bound.
+        raise ValueError(
+            f"persistent decode supports B <= 512 (got {B}): B=1024 hangs "
+            "the Mosaic kernel pre-first-run; use cross_impl='mxu'")
     f32 = jnp.float32
 
     cross_k, cross_v = precompute_cross_kv(params, memory, dims, cd)
@@ -563,7 +607,8 @@ def persistent_greedy_decode(params, memory, memory_mask, dims, *,
     h0 = jnp.zeros((B, S, D), cd)
 
     kern = _make_kernel(B=B, RB=RB, H=H, kvH=kvH, Dh=Dh, S=S, Li=Li,
-                        L=L, F=F, D=D, V=V, VP=VP, dof=dof, cd=cd)
+                        L=L, F=F, D=D, V=V, VP=VP, dof=dof, cd=cd,
+                        END=dims.end, early_exit=early_exit)
     out = pl.pallas_call(
         kern,
         in_specs=([pl.BlockSpec(memory_space=pltpu.ANY)] * 11
@@ -573,12 +618,14 @@ def persistent_greedy_decode(params, memory, memory_mask, dims, *,
                    pl.BlockSpec(memory_space=pltpu.VMEM),
                    pl.BlockSpec(memory_space=pltpu.ANY),
                    pl.BlockSpec(memory_space=pltpu.ANY),
-                   pl.BlockSpec(memory_space=pltpu.ANY)),
+                   pl.BlockSpec(memory_space=pltpu.ANY),
+                   pl.BlockSpec(memory_space=pltpu.SMEM)),
         out_shape=(jax.ShapeDtypeStruct((B, S), jnp.int32),
                    jax.ShapeDtypeStruct((B, S), jnp.int32),
                    jax.ShapeDtypeStruct((L * B, S, Dkv), cd),
                    jax.ShapeDtypeStruct((L * B, S, Dkv), cd),
-                   jax.ShapeDtypeStruct((B, S, D), cd)),
+                   jax.ShapeDtypeStruct((B, S, D), cd),
+                   jax.ShapeDtypeStruct((1, 1), jnp.int32)),
         input_output_aliases={16: 2, 17: 3, 18: 4},
         scratch_shapes=[
             pltpu.VMEM((D, D + 2 * Dkv + 3 * D), cd),    # wbuf1
@@ -603,6 +650,7 @@ def persistent_greedy_decode(params, memory, memory_mask, dims, *,
             pltpu.VMEM((B, D), cd),                      # q2_all
             pltpu.VMEM((B, max(F, D)), cd),              # z_all
             pltpu.VMEM((B, S), f32),                     # pl_all
+            pltpu.SMEM((2,), jnp.int32),                 # donec
             pltpu.SemaphoreType.DMA((24,)),
         ],
         interpret=interpret,
@@ -613,4 +661,4 @@ def persistent_greedy_decode(params, memory, memory_mask, dims, *,
       mbias, vt_hi, vt_lo, pos_emb, struct, k0, v0, h0)
 
     return {"samples": out[0], "attach": out[1],
-            "num_steps": jnp.array(S, jnp.int32)}
+            "num_steps": out[5][0, 0]}

@@ -320,7 +320,8 @@ class Trainer:
         out = greedy_decode(state.params, inputs, self.dims,
                             compute_dtype=self.compute_dtype,
                             kv_bucket=bucket,
-                            kv_quant=self.cfg.trainer.kv_quant)
+                            kv_quant=self.cfg.trainer.kv_quant,
+                            cross_impl=self.cfg.trainer.decode_impl)
         return arrays, out
 
     def validate(self, state: TrainState) -> tuple[float, float, float]:

@@ -74,6 +74,66 @@ def test_dispatch_persistent_interpret():
     assert int(got["num_steps"]) == dims.max_output_length
 
 
+def test_persistent_early_exit_stops():
+    """early_exit=True: with the vocab head biased hard toward END every
+    row emits END at t=0, the SMEM done flag trips, and num_steps == 1 —
+    matching the XLA while_loop path's early exit on the same params."""
+    params, dims, memory, mask = _setup(kv=1)
+    params = jax.tree_util.tree_map(lambda x: x, params)  # shallow copy
+    b = np.asarray(params["heads"]["vocab"]["b"]).copy()
+    b[dims.end] = 1e4
+    params["heads"]["vocab"]["b"] = jnp.asarray(b)
+    ref = decode_from_memory(params, memory, mask, dims,
+                             compute_dtype=jnp.float32, kv_quant=True,
+                             self_quant=False, early_exit=True,
+                             cross_impl="mxu")
+    got = persistent_greedy_decode(params, memory, mask, dims,
+                                   block_rows=2, early_exit=True,
+                                   compute_dtype=jnp.float32,
+                                   interpret=True)
+    assert int(got["num_steps"]) == int(ref["num_steps"]) == 1
+    np.testing.assert_array_equal(np.asarray(got["samples"]),
+                                  np.asarray(ref["samples"]))
+    np.testing.assert_array_equal(np.asarray(got["attach"]),
+                                  np.asarray(ref["attach"]))
+
+
+def test_persistent_early_exit_noop_when_no_end():
+    """early_exit=True must be bit-identical to the full bound when no row
+    ever emits END (vocab head biased against END; pointers can only copy
+    already-emitted tokens, so END can never appear): the predicate
+    wrapper may not perturb any step's compute, and num_steps == S."""
+    params, dims, memory, mask = _setup(kv=1)
+    b = np.asarray(params["heads"]["vocab"]["b"]).copy()
+    b[dims.end] = -1e4
+    params["heads"]["vocab"]["b"] = jnp.asarray(b)
+    full = persistent_greedy_decode(params, memory, mask, dims,
+                                    block_rows=2, early_exit=False,
+                                    compute_dtype=jnp.float32,
+                                    interpret=True)
+    ee = persistent_greedy_decode(params, memory, mask, dims,
+                                  block_rows=2, early_exit=True,
+                                  compute_dtype=jnp.float32,
+                                  interpret=True)
+    assert int(full["num_steps"]) == dims.max_output_length
+    assert int(ee["num_steps"]) == dims.max_output_length
+    np.testing.assert_array_equal(np.asarray(ee["samples"]),
+                                  np.asarray(full["samples"]))
+    np.testing.assert_array_equal(np.asarray(ee["attach"]),
+                                  np.asarray(full["attach"]))
+
+
+def test_persistent_rejects_large_batch():
+    """B > 512 must raise (the B=1024 Mosaic hang guard), before any
+    device work happens."""
+    params, dims, memory, mask = _setup(kv=1)
+    big = jnp.zeros((1024, memory.shape[1], memory.shape[2]), memory.dtype)
+    bigmask = jnp.zeros((1024, mask.shape[1]), mask.dtype)
+    with pytest.raises(ValueError, match="B <= 512"):
+        persistent_greedy_decode(params, big, bigmask, dims,
+                                 block_rows=2, interpret=True)
+
+
 def test_persistent_bf16_close():
     params, dims, memory, mask = _setup()
     ref = _ref(params, dims, memory, mask, jnp.bfloat16)

@@ -27,6 +27,9 @@ def main():
     ap.add_argument("--parity", action="store_true",
                     help="also run the XLA mxu decode path on the same "
                          "inputs and report token agreement")
+    ap.add_argument("--early-exit", action="store_true",
+                    help="build the r4 early-exit variant (SMEM done "
+                         "flag; num_steps reports the true trip count)")
     args = ap.parse_args()
 
     cfg = Config()
@@ -41,12 +44,12 @@ def main():
 
     fn = lambda p, m, mm: persistent_greedy_decode(
         p, m, mm, dims, block_rows=args.block_rows,
-        compute_dtype=jnp.bfloat16)
+        compute_dtype=jnp.bfloat16, early_exit=args.early_exit)
     t0 = time.time()
     compiled = jax.jit(fn).lower(params, memory, mask).compile()
     print(f"COMPILE OK in {time.time() - t0:.1f}s "
-          f"(B={B} Li={Li} kv={args.kv_head} rb={args.block_rows})",
-          flush=True)
+          f"(B={B} Li={Li} kv={args.kv_head} rb={args.block_rows} "
+          f"early_exit={args.early_exit})", flush=True)
     mem = compiled.memory_analysis()
     if mem is not None:
         print(f"  hbm: args {mem.argument_size_in_bytes / 1e6:.0f} MB, "
@@ -66,9 +69,10 @@ def main():
             times.append(time.time() - t0)
         dt = min(times)
         S = dims.max_output_length
+        nsteps = int(np.asarray(out["num_steps"]))
         print(f"RUN: {dt * 1e3:.1f} ms total, {dt / S * 1e3:.3f} ms/step, "
-              f"{B / dt:.1f} prog/s (decode-only, full {S}-step bound)",
-              flush=True)
+              f"{B / dt:.1f} prog/s (decode-only, num_steps={nsteps} of "
+              f"bound {S})", flush=True)
 
         if args.parity:
             from plankassembly_tpu.decode import decode_from_memory

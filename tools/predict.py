@@ -123,6 +123,11 @@ def main():
                     help="max decode batch (each distinct size jits once)")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend")
+    ap.add_argument("--decode_impl", default="auto",
+                    choices=("auto", "mxu", "persistent", "xla"),
+                    help="decode schedule: 'persistent' = single-launch "
+                    "Pallas kernel (GQA serving path; early-exits in-launch "
+                    "since r4); 'auto' = XLA mxu path on TPU")
     args = ap.parse_args()
 
     import jax
@@ -165,7 +170,8 @@ def main():
                                           for s in chunk]))
         out = greedy_decode(params, batch, dims,
                             compute_dtype=jnp.bfloat16,
-                            kv_bucket=bucket, kv_quant=True)
+                            kv_bucket=bucket, kv_quant=True,
+                            cross_impl=args.decode_impl)
         out_samples = np.asarray(out["samples"])
         out_attach = np.asarray(out["attach"])
         for i, (name, _) in enumerate(chunk):

@@ -24,6 +24,78 @@ PEAKS = {"tpu": {"flops": 197e12, "bytes": 819e9},
          "cpu": {"flops": 1e11, "bytes": 2e10}}  # rough, for smoke runs
 
 
+# ---------------------------------------------------------------------------
+# Analytic models (round 4). XLA's cost_analysis counts while_loop operand
+# buffers ONCE rather than per iteration (measured ~10x under-report on the
+# decode loop) and prices remat at zero, so the committed roofline numbers
+# come from closed-form matmul counts instead; the XLA floors stay in the
+# JSON for reference. MACs count as 2 FLOPs throughout.
+# ---------------------------------------------------------------------------
+
+def train_analytic_flops(dims, B: int, Li: int) -> float:
+    """Matmul FLOPs of one training step (fwd + per-layer remat + bwd).
+
+    Both stacks scan `jax.checkpoint`ed layers (models/model.py:369,431):
+    backward recomputes each layer's forward once, so layer FLOPs count
+    4x (1 fwd + 1 remat + 2 bwd — each fwd GEMM has two bwd GEMMs). The
+    heads sit outside the scan: 3x. Embedding gathers / layernorms /
+    softmaxes are ignored (sub-1% at d=512)."""
+    D, H, Dh, F = (dims.num_model, dims.num_head, dims.head_dim,
+                   dims.num_feedforward)
+    kvD = dims.kv_heads * Dh
+    S, V = dims.max_output_length, dims.vocab_size
+
+    def layer(tokens, attn_q, attn_kv, cross_kv_tokens=0):
+        proj = 2 * tokens * (2 * D * D + 2 * D * kvD + 2 * D * F)
+        if cross_kv_tokens:  # decoder: + cross q,o over S + cross k,v
+            proj += 2 * tokens * 2 * D * D
+            proj += 2 * cross_kv_tokens * 2 * D * kvD
+        attn = 4 * attn_q * attn_kv * H * Dh  # QK^T + PV, batch folded in
+        return proj + attn
+
+    enc = dims.num_encoder_layers * layer(B * Li, B * Li, Li)
+    dec = dims.num_decoder_layers * layer(B * S, B * S, S,
+                                          cross_kv_tokens=B * Li)
+    dec += dims.num_decoder_layers * 4 * (B * S) * Li * H * Dh  # cross attn
+    heads = (2 * B * S * D * V          # vocab
+             + 2 * B * S * D * D        # pointer feature
+             + 2 * B * S * S * D        # pointer logits vs h_cache
+             + 2 * B * S * D)           # switch
+    return 4 * (enc + dec) + 3 * heads
+
+
+def decode_analytic(dims, B: int, bucket: int, dec_param_count: int,
+                    impl: str = "mxu"):
+    """(flops, bytes) of one full cached greedy decode (encoder included),
+    full S-step bound. The bytes model is bench.py's per-step traffic
+    model: the loop re-reads cross K/V (int8), self K/V (int8 + f32
+    scales on mxu; bf16 on the persistent kernel), the decoder weights
+    (bf16) and h_cache every step."""
+    D, H, Dh, F = (dims.num_model, dims.num_head, dims.head_dim,
+                   dims.num_feedforward)
+    kvD = dims.kv_heads * Dh
+    S, V = dims.max_output_length, dims.vocab_size
+    Ld = dims.num_decoder_layers
+
+    enc = dims.num_encoder_layers * (
+        2 * B * bucket * (2 * D * D + 2 * D * kvD + 2 * D * F)
+        + 4 * B * bucket * bucket * H * Dh)
+    cross_kv_once = 2 * B * bucket * 2 * D * kvD * Ld
+    per_step = Ld * (2 * B * (4 * D * D + 2 * D * kvD + 2 * D * F)
+                     + 4 * B * H * bucket * Dh)
+    self_attn = Ld * 4 * B * H * Dh * (S * S // 2)    # avg prefix S/2
+    heads = S * (2 * B * D * V + 2 * B * D * D + 2 * B * S * D + 2 * B * D)
+    flops = enc + cross_kv_once + per_step * S + self_attn + heads
+
+    selfkv = (2 * Ld * B * S * kvD * 2 if impl == "persistent"
+              else 2 * Ld * B * S * kvD + 2 * Ld * B * S * dims.kv_heads * 4)
+    step_bytes = (2 * Ld * B * bucket * kvD      # cross K+V int8
+                  + selfkv
+                  + dec_param_count * 2          # decoder+head weights bf16
+                  + B * S * D * 2)               # h_cache (pointer dot)
+    return flops, step_bytes * S
+
+
 def _sync(out):
     """Force execution completion via a host transfer of the smallest
     output leaf — `block_until_ready` returns early on remote-PJRT
@@ -34,7 +106,9 @@ def _sync(out):
     np.asarray(leaf)
 
 
-def report(name, fn, args, iters=3, trace_dir=None):
+def report(name, fn, args, iters=3, trace_dir=None, analytic=None):
+    """analytic: optional (flops, bytes) from the closed-form models above;
+    reported as mfu_pct / analytic_bw_pct alongside XLA's floors."""
     import jax
 
     lowered = jax.jit(fn).lower(*args)
@@ -69,6 +143,14 @@ def report(name, fn, args, iters=3, trace_dir=None):
         "pct_flops_peak": round(100 * flops / dt / peak["flops"], 1),
         "pct_bw_peak": round(100 * bytes_accessed / dt / peak["bytes"], 1),
     }
+    if analytic is not None:
+        a_flops, a_bytes = analytic
+        line["analytic_gflops"] = round(a_flops / 1e9, 2)
+        line["mfu_pct"] = round(100 * a_flops / dt / peak["flops"], 1)
+        if a_bytes:
+            line["analytic_gbytes"] = round(a_bytes / 1e9, 3)
+            line["analytic_bw_pct"] = round(
+                100 * a_bytes / dt / peak["bytes"], 1)
     print(json.dumps(line), flush=True)
     return line
 
@@ -79,8 +161,8 @@ def main():
     ap.add_argument("--train-batch", type=int, default=64)
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument("--trace", default=None, help="write jax.profiler traces")
-    ap.add_argument("--programs", default="decode,train",
-                    help="comma list: decode,nocache,train")
+    ap.add_argument("--programs", default="decode,persistent,train",
+                    help="comma list: decode,persistent,nocache,train")
     ap.add_argument("--kv-head", type=int, default=0,
                     help="NUM_KV_HEAD override (GQA/MQA decode measurement)")
     args = ap.parse_args()
@@ -113,17 +195,32 @@ def main():
     params = init_params(jax.random.PRNGKey(0), dims)
     programs = args.programs.split(",")
 
-    if "decode" in programs or "nocache" in programs:
+    if {"decode", "nocache", "persistent"} & set(programs):
         batch_np = _example_batch(cfg, args.batch)
         inputs = {k: jnp.asarray(v) for k, v in batch_np.items()
                   if k.startswith("input")}
         bucket = pick_kv_bucket(batch_np["input_mask"])
+        dec_params = sum(int(np.prod(np.asarray(v).shape))
+                         for k in ("decoder", "heads")
+                         for v in jax.tree.leaves(params[k]))
         if "decode" in programs:
-            report("decode_cached_int8",
+            report("decode_cached_int8_mxu",
                    lambda p, b: greedy_decode(
                        p, b, dims, compute_dtype=jnp.bfloat16,
-                       early_exit=False, kv_bucket=bucket, kv_quant=True),
-                   (params, inputs), iters=args.iters, trace_dir=args.trace)
+                       early_exit=False, kv_bucket=bucket, kv_quant=True,
+                       cross_impl="mxu"),
+                   (params, inputs), iters=args.iters, trace_dir=args.trace,
+                   analytic=decode_analytic(dims, args.batch, bucket,
+                                            dec_params, impl="mxu"))
+        if "persistent" in programs:
+            report("decode_persistent",
+                   lambda p, b: greedy_decode(
+                       p, b, dims, compute_dtype=jnp.bfloat16,
+                       early_exit=False, kv_bucket=bucket, kv_quant=True,
+                       cross_impl="persistent"),
+                   (params, inputs), iters=args.iters, trace_dir=args.trace,
+                   analytic=decode_analytic(dims, args.batch, bucket,
+                                            dec_params, impl="persistent"))
         if "nocache" in programs:
             report("decode_nocache_reference",
                    lambda p, b: greedy_decode_nocache(
@@ -140,9 +237,12 @@ def main():
         batch_np = _example_batch(cfg, args.train_batch, seed=1)
         batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
         rng = jax.random.PRNGKey(0)
+        Li = batch_np["input_value"].shape[1]
         report("train_step_fused",
                lambda s, b, r: step(s, b, r), (state, batch, rng),
-               iters=args.iters, trace_dir=args.trace)
+               iters=args.iters, trace_dir=args.trace,
+               analytic=(train_analytic_flops(dims, args.train_batch, Li),
+                         None))
 
 
 if __name__ == "__main__":
