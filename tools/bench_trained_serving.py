@@ -48,9 +48,13 @@ def main():
                     help="info dir (default: the ckpt's ROOT)")
     ap.add_argument("--limit", type=int, default=0,
                     help="cap the number of batches (0 = whole split)")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (smoke runs)")
     args = ap.parse_args()
 
     import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_compilation_cache_dir",
                       os.path.join(os.path.dirname(os.path.dirname(
                           os.path.abspath(__file__))), ".jax_cache"))
