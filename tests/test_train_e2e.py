@@ -12,13 +12,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from plankassembly_tpu.data import geometry as geo
-from plankassembly_tpu.factory.projection import (
-    VIEWS, postprocess_complete, project_boxes,
-)
-from plankassembly_tpu.factory.synthetic import generate_cabinet
-from plankassembly_tpu.io.svg import parse_svg, render_svg
-from tests.tiny import tiny_config
+from tests.tiny import tiny_config, write_tiny_dataset
 
 import dataclasses
 
@@ -27,35 +21,7 @@ import dataclasses
 def dataset_dir(tmp_path_factory):
     """Tiny on-disk dataset: 4 samples, full factory path."""
     root = tmp_path_factory.mktemp("data")
-    os.makedirs(root / "infos")
-    names = []
-    for seed in range(4):
-        planks, attach = generate_cabinet(seed, max_planks=5)
-        boxes = planks[1:] / 1280.0
-        svgs, views, types_all = [], [], []
-        for v_i, view in enumerate(VIEWS):
-            lines, types = project_boxes(boxes, view)
-            lines, types = postprocess_complete(lines, types)
-            path = str(root / f"tmp_{view}.svg")
-            render_svg(path, lines, types)
-            plines, ptypes = parse_svg(path)
-            svgs.extend(geo.to_geojson(l) for l in plines)
-            types_all.extend(ptypes)
-            views.extend([v_i] * len(plines))
-        name = f"syn{seed:03d}"
-        info = {
-            "name": name,
-            "lines": [geo.bounds(geo.from_geojson(s)).tolist() for s in svgs],
-            "views": views, "types": types_all, "svgs": svgs,
-            "coords": np.round(planks / 1280.0, 3).tolist(),
-            "attach": attach.tolist(),
-        }
-        with open(root / "infos" / f"{name}.json", "w") as f:
-            json.dump(info, f)
-        names.append(name)
-    for split in ("train", "valid", "test"):
-        with open(root / f"{split}.txt", "w") as f:
-            f.write("".join(f"{n}.json\n" for n in names))
+    write_tiny_dataset(str(root))
     return root
 
 

@@ -55,3 +55,50 @@ def random_batch(cfg: Config, batch_size=2, seed=0, with_type=True):
     batch["output_label"] = label
     batch["output_mask"] = ov == cfg.TOKEN.PAD
     return batch
+
+
+def write_tiny_dataset(root, n_samples=4):
+    """Tiny on-disk dataset (full factory path): info JSONs + split files.
+
+    Shared by the e2e trainer test and the serving-bench test so both
+    reuse the same compiled shapes."""
+    import json
+    import os
+
+    from plankassembly_tpu.data import geometry as geo
+    from plankassembly_tpu.factory.projection import (
+        VIEWS, postprocess_complete, project_boxes,
+    )
+    from plankassembly_tpu.factory.synthetic import generate_cabinet
+    from plankassembly_tpu.io.svg import parse_svg, render_svg
+
+    os.makedirs(os.path.join(root, "infos"), exist_ok=True)
+    names = []
+    for seed in range(n_samples):
+        planks, attach = generate_cabinet(seed, max_planks=5)
+        boxes = planks[1:] / 1280.0
+        svgs, views, types_all = [], [], []
+        for v_i, view in enumerate(VIEWS):
+            lines, types = project_boxes(boxes, view)
+            lines, types = postprocess_complete(lines, types)
+            path = os.path.join(root, f"tmp_{view}.svg")
+            render_svg(path, lines, types)
+            plines, ptypes = parse_svg(path)
+            svgs.extend(geo.to_geojson(l) for l in plines)
+            types_all.extend(ptypes)
+            views.extend([v_i] * len(plines))
+        name = f"syn{seed:03d}"
+        info = {
+            "name": name,
+            "lines": [geo.bounds(geo.from_geojson(s)).tolist() for s in svgs],
+            "views": views, "types": types_all, "svgs": svgs,
+            "coords": np.round(planks / 1280.0, 3).tolist(),
+            "attach": attach.tolist(),
+        }
+        with open(os.path.join(root, "infos", f"{name}.json"), "w") as f:
+            json.dump(info, f)
+        names.append(name)
+    for split in ("train", "valid", "test"):
+        with open(os.path.join(root, f"{split}.txt"), "w") as f:
+            f.write("".join(f"{n}.json\n" for n in names))
+    return names
