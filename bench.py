@@ -76,13 +76,18 @@ def _supervise():
             print(f"# attempt {attempt}: device probe timed out",
                   file=sys.stderr)
         if probe is not None and probe.returncode == 0:
-            # 2) the real run, generous timeout: a NEW program variant
-            #    compiles server-side in ~9 min (CLAUDE.md); cache hits
-            #    are seconds.
+            # 2) the real run. Timeout is generous — a NEW program variant
+            #    compiles server-side in ~9 min (CLAUDE.md) — but clamped
+            #    to the remaining BENCH_MAX_WAIT budget (never below 10
+            #    min, or the compile could never finish). NB: a timeout
+            #    kill here lands mid-execution, which can wedge the
+            #    device ~25 min — acceptable only because the alternative
+            #    is hanging the driver forever.
+            inner_timeout = max(600.0, min(2400.0, deadline - time.time()))
             try:
                 inner = subprocess.run(
                     [sys.executable, os.path.abspath(__file__), "--inner"],
-                    capture_output=True, text=True, timeout=2400)
+                    capture_output=True, text=True, timeout=inner_timeout)
             except subprocess.TimeoutExpired:
                 print(f"# attempt {attempt}: inner run timed out",
                       file=sys.stderr)
@@ -127,13 +132,15 @@ def main():
     kv_head = int(os.environ.get("BENCH_KV_HEAD", "2"))
     cfg = dataclasses.replace(
         cfg, MODEL=dataclasses.replace(cfg.MODEL, NUM_KV_HEAD=kv_head))
-    is_gqa = 0 < kv_head < 8  # NUM_KV_HEAD=0 means MHA, same as 8
 
-    # Optional: BENCH_CKPT=<orbax dir> benchmarks a trained checkpoint with
-    # realistic early-exit decoding instead of random weights at the full
-    # 128-step bound (used for reporting; the driver runs the default).
-    # Model hyperparameters (e.g. a GQA NUM_KV_HEAD) are taken from the
-    # run's hparams.yaml when it sits next to the checkpoint dir.
+    # Optional: BENCH_CKPT=<orbax dir> benchmarks trained weights instead
+    # of random ones — still at the full 128-step bound on synthetic
+    # inputs (a trained model on random tokens would early-exit after a
+    # couple of steps and report a meaningless rate). For realistic
+    # early-exit serving throughput on real data use
+    # tools/bench_trained_serving.py. Model hyperparameters (e.g. a GQA
+    # NUM_KV_HEAD) are taken from the run's hparams.yaml when it sits
+    # next to the checkpoint dir.
     ckpt = os.environ.get("BENCH_CKPT")
     if ckpt:
         run_dir = os.path.dirname(os.path.dirname(os.path.abspath(ckpt)))
@@ -148,6 +155,10 @@ def main():
         with ocp.StandardCheckpointer() as ckptr:
             restored = ckptr.restore(os.path.abspath(ckpt))
         params = jax.tree.map(jnp.asarray, restored["params"])
+    # impl/batch choices below key off the FINAL layout — a BENCH_CKPT
+    # hparams override replaces cfg (and with it NUM_KV_HEAD), so the env
+    # kv_head must not be consulted past this point.
+    is_gqa = 0 < cfg.MODEL.NUM_KV_HEAD < cfg.MODEL.NUM_HEAD
 
     # Decode impl: the r3 persistent Pallas kernel (the whole 128-step
     # loop in ONE launch, ops/persistent_decode.py) doubles GQA decode

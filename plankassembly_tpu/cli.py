@@ -50,7 +50,9 @@ def main(trainer_cls, argv: list[str] | None = None):
     subcommand, config_path, ckpt_path, overrides = parse_args(argv)
     cfg = load_config(config_path, overrides)
 
-    if cfg.trainer.accelerator == "cpu" or os.environ.get("PLANK_FORCE_CPU"):
+    force_cpu = os.environ.get("PLANK_FORCE_CPU", "").lower() not in (
+        "", "0", "false")
+    if cfg.trainer.accelerator == "cpu" or force_cpu:
         # debugging/smoke runs off-accelerator; must be set before any jax
         # backend use (env JAX_PLATFORMS is overridden on hosts whose site
         # config force-registers an accelerator plugin, so set it here).

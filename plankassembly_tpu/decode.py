@@ -136,6 +136,13 @@ def decode_from_memory(params, memory, memory_mask, dims: ModelDims,
     """
     explicit_no_quant = kv_quant is False  # None = unspecified default
     kv_quant = bool(kv_quant)
+    _IMPLS = ("auto", "xla", "mxu", "persistent", "persistent-interpret",
+              "fused", "fused-interpret", "kernel", "kernel-interpret")
+    if cross_impl not in _IMPLS:
+        # without this, an unknown string silently falls through to the
+        # generic XLA einsum path and gets benchmarked under its own name
+        raise ValueError(f"unknown cross_impl {cross_impl!r}; "
+                         f"one of {_IMPLS}")
     if cross_impl == "auto":
         cross_impl = "mxu" if jax.default_backend() == "tpu" else "xla"
     if gqa_self_impl == "auto":

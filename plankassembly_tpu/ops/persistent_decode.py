@@ -30,14 +30,16 @@ B=1024 hung pre-first-run (>15 min, unmeasured). Full sweep in
 results/RUNS_r3.md; on-chip bf16 token agreement vs mxu 95.3%
 (rounding-tie divergence only).
 
-Semantics match `decode.greedy_decode(kv_quant=True, self_quant=False,
-early_exit=False)` at the token level (tests/test_persistent_decode.py):
-int8 per-(layer,row,kv-head) cross K/V with the K scale folded into the
+Semantics match `decode.greedy_decode(kv_quant=True, self_quant=False)`
+at the token level (tests/test_persistent_decode.py): int8
+per-(layer,row,kv-head) cross K/V with the K scale folded into the
 query and the V scale into the attention output; bf16 self K/V cache;
 exact `_mixed_sample` tail including the eps-fill / first-plank /
-tie-break quirks (`decode.py:457-497`). Always runs the full static
-bound (benchmark-mode semantics; a persistent kernel cannot early-exit
-without aborting the whole launch). Reference anchor: replaces the
+tie-break quirks (`decode.py:457-497`). early_exit=False (benchmark
+mode) runs the full static bound; early_exit=True (r4, serving mode)
+predicates each step on an SMEM done flag so once every row has emitted
+END the remaining iterations cost µs — the in-launch analogue of the
+reference's eval-loop break. Reference anchor: replaces the
 autoregressive loop of `plankassembly/models.py:284-307` wholesale.
 
 Layouts (append-friendly; every contraction is an MXU NN/NT/TN dot —

@@ -317,10 +317,13 @@ class Trainer:
         # CLAUDE.md perf ledger)
         bucket = pick_kv_bucket(inputs["input_mask"],
                                 quantum=self.cfg.trainer.kv_quantum)
+        # kv_quant False is the config DEFAULT, not an explicit request —
+        # map it to None so decode_impl='persistent' (whose int8-cross
+        # semantics are built in) doesn't warn on every eval trace
         out = greedy_decode(state.params, inputs, self.dims,
                             compute_dtype=self.compute_dtype,
                             kv_bucket=bucket,
-                            kv_quant=self.cfg.trainer.kv_quant,
+                            kv_quant=self.cfg.trainer.kv_quant or None,
                             cross_impl=self.cfg.trainer.decode_impl)
         return arrays, out
 

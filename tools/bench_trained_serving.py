@@ -89,7 +89,15 @@ def main():
     loader = DataLoader(ds, batch_size=args.batch, order=order,
                         pad_to_batch=True)
 
-    for impl in args.impls.split(","):
+    impls = args.impls.split(",")
+    known = ("auto", "xla", "mxu", "persistent", "persistent-interpret")
+    bad = [i for i in impls if i not in known]
+    if bad:
+        sys.exit(f"unknown --impls {bad}; choose from {known}")
+    if len(ds) == 0:
+        sys.exit(f"empty split: {args.split}")
+
+    for impl in impls:
         fn = jax.jit(lambda p, b: greedy_decode(
             p, b, dims, compute_dtype=jnp.bfloat16, early_exit=True,
             kv_bucket=args.bucket, kv_quant=True, cross_impl=impl))
