@@ -128,6 +128,12 @@ def main():
                     help="decode schedule: 'persistent' = single-launch "
                     "Pallas kernel (GQA serving path; early-exits in-launch "
                     "since r4); 'auto' = XLA mxu path on TPU")
+    ap.add_argument("--beam", type=int, default=1,
+                    help="beam width (>1 switches to beam-search decode, "
+                    "plankassembly_tpu/beam.py — beyond-reference; the "
+                    "reference decodes greedily)")
+    ap.add_argument("--alpha", type=float, default=0.0,
+                    help="GNMT length-normalization exponent for --beam>1")
     args = ap.parse_args()
 
     import jax
@@ -168,10 +174,16 @@ def main():
                  for k in chunk[0][1]}
         bucket = pick_kv_bucket(np.stack([s[1]["input_mask"]
                                           for s in chunk]))
-        out = greedy_decode(params, batch, dims,
-                            compute_dtype=jnp.bfloat16,
-                            kv_bucket=bucket, kv_quant=True,
-                            cross_impl=args.decode_impl)
+        if args.beam > 1:
+            from plankassembly_tpu.beam import beam_decode
+            out = beam_decode(params, batch, dims, num_beams=args.beam,
+                              compute_dtype=jnp.bfloat16,
+                              alpha=args.alpha, kv_bucket=bucket)
+        else:
+            out = greedy_decode(params, batch, dims,
+                                compute_dtype=jnp.bfloat16,
+                                kv_bucket=bucket, kv_quant=True,
+                                cross_impl=args.decode_impl)
         out_samples = np.asarray(out["samples"])
         out_attach = np.asarray(out["attach"])
         for i, (name, _) in enumerate(chunk):
