@@ -23,6 +23,7 @@ Usage:
       [--split /root/data/splits/test.txt] [--root /root/data/data/complete/infos]
 """
 import argparse
+import functools
 import json
 import os
 import sys
@@ -38,10 +39,14 @@ def main():
     ap.add_argument("--ckpt", default="checkpoints/gqa_complete_ep181.npz")
     ap.add_argument("--impls", default="mxu,persistent")
     ap.add_argument("--batch", type=int, default=256)
-    ap.add_argument("--bucket", type=int, default=512,
-                    help="fixed kv bucket (one compile variant per impl; "
-                    "batches whose max real length exceeds it are cropped "
-                    "— with the default 512 none are on this dataset)")
+    ap.add_argument("--bucket", type=int, default=0,
+                    help="0 (default) = per-batch pick_kv_bucket like the "
+                    "eval loop: exact, but one compile variant per distinct "
+                    "bucket (length-sorted batches keep that to a handful). "
+                    "A fixed N bounds compiles to one variant per impl but "
+                    "CROPS encoder memory for samples longer than N input "
+                    "tokens — on the synthetic 26k test split 33% exceed "
+                    "512 (max 1121), which costs ~0.04 F1")
     ap.add_argument("--split", default=None,
                     help="split file (default: the ckpt's DATASETS_TEST)")
     ap.add_argument("--root", default=None,
@@ -50,6 +55,11 @@ def main():
                     help="cap the number of batches (0 = whole split)")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (smoke runs)")
+    ap.add_argument("--alpha", type=float, default=0.0,
+                    help="length-normalization exponent for beam<K> impls")
+    ap.add_argument("--reverse", action="store_true",
+                    help="serve longest programs first (with --limit: "
+                    "benchmark the hard tail of the split)")
     args = ap.parse_args()
 
     import jax
@@ -85,27 +95,50 @@ def main():
             info = json.load(f)
         keys.append((len(info.get("coords", [])), len(info.get("lines", []))))
     order = np.lexsort(([k[1] for k in keys], [k[0] for k in keys]))
+    if args.reverse:
+        order = order[::-1]
 
     loader = DataLoader(ds, batch_size=args.batch, order=order,
                         pad_to_batch=True)
 
     impls = args.impls.split(",")
     known = ("auto", "xla", "mxu", "persistent", "persistent-interpret")
-    bad = [i for i in impls if i not in known]
+    bad = [i for i in impls
+           if i not in known and not (i.startswith("beam")
+                                      and i[4:].isdigit())]
     if bad:
-        sys.exit(f"unknown --impls {bad}; choose from {known}")
+        sys.exit(f"unknown --impls {bad}; choose from {known} or beam<K> "
+                 "(beam-search decode, plankassembly_tpu/beam.py)")
     if len(ds) == 0:
         sys.exit(f"empty split: {args.split}")
 
+    from plankassembly_tpu.decode import pick_kv_bucket
+
     for impl in impls:
-        fn = jax.jit(lambda p, b: greedy_decode(
-            p, b, dims, compute_dtype=jnp.bfloat16, early_exit=True,
-            kv_bucket=args.bucket, kv_quant=True, cross_impl=impl))
+        if impl.startswith("beam"):
+            from plankassembly_tpu.beam import beam_decode
+            n_beams = int(impl[4:])
+
+            def fn(p, b, bucket, _k=n_beams):
+                return beam_decode(p, b, dims, num_beams=_k,
+                                   compute_dtype=jnp.bfloat16,
+                                   alpha=args.alpha, kv_bucket=bucket)
+        else:
+            def fn(p, b, bucket, _impl=impl):
+                return _jitted(p, b, bucket, _impl)
+
+            @functools.partial(jax.jit, static_argnames=("bucket", "impl"))
+            def _jitted(p, b, bucket, impl):
+                return greedy_decode(
+                    p, b, dims, compute_dtype=jnp.bfloat16, early_exit=True,
+                    kv_bucket=bucket, kv_quant=True, cross_impl=impl)
+
         tot_prog = 0
         tot_time = 0.0
         steps_hist = []
         sums = np.zeros(4)
-        compile_t = None
+        compile_t = 0.0
+        seen_buckets = set()
         for bi, batch in enumerate(loader):
             if args.limit and bi >= args.limit:
                 break
@@ -113,12 +146,14 @@ def main():
                       if hasattr(v, "shape")}
             inputs = {k: v for k, v in arrays.items()
                       if k.startswith("input")}
-            if compile_t is None:  # first batch pays the compile; time it
+            bucket = args.bucket or pick_kv_bucket(batch["input_mask"])
+            if bucket not in seen_buckets:  # new variant pays a compile
+                seen_buckets.add(bucket)
                 t0 = time.perf_counter()
-                fn(params, inputs)["samples"].block_until_ready()
-                compile_t = time.perf_counter() - t0
+                fn(params, inputs, bucket)["samples"].block_until_ready()
+                compile_t += time.perf_counter() - t0
             t0 = time.perf_counter()
-            out = fn(params, inputs)
+            out = fn(params, inputs, bucket)
             np.asarray(out["samples"])  # host sync
             dt = time.perf_counter() - t0
             nv = int(np.asarray(arrays["sample_valid"]).sum())
@@ -134,7 +169,8 @@ def main():
                   f"steps={steps_hist[-1]}", file=sys.stderr, flush=True)
         n = max(sums[3], 1.0)
         print(json.dumps({
-            "impl": impl, "batch": args.batch, "bucket": args.bucket,
+            "impl": impl, "batch": args.batch,
+            "buckets": sorted(seen_buckets),
             "programs_per_sec_serving": round(tot_prog / tot_time, 1),
             "mean_steps": round(float(np.mean(steps_hist)), 1),
             "steps_hist": steps_hist,
