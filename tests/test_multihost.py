@@ -29,9 +29,16 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def _run(num_procs: int, tmpdir: str, timeout: int = 540) -> dict:
+def _run(num_procs: int, tmpdir: str, timeout: int = 540,
+         retries: int = 1) -> dict:
     """Launch the worker under `num_procs` coordinated processes; return the
-    merged result JSONs keyed by process id."""
+    merged result JSONs keyed by process id.
+
+    One retry on failure: Gloo's CPU-collective context init has a fixed
+    ~30 s rendezvous window, and on this single-core container a
+    concurrent background job can skew the two workers' first-collective
+    arrival past it (GetKeyValue DEADLINE_EXCEEDED) — a load flake, not a
+    product failure (the same run passes in isolation)."""
     env_base = dict(os.environ)
     env_base.pop("_PLANK_DRYRUN_CHILD", None)
     env_base["XLA_FLAGS"] = " ".join(
@@ -50,6 +57,8 @@ def _run(num_procs: int, tmpdir: str, timeout: int = 540) -> dict:
             [sys.executable, WORKER], env=env, cwd="/root/repo",
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True))
     outs = [p.communicate(timeout=timeout)[0] for p in procs]
+    if retries and any(p.returncode != 0 for p in procs):
+        return _run(num_procs, tmpdir, timeout, retries - 1)
     for p, out in zip(procs, outs):
         assert p.returncode == 0, out[-3000:]
     results = {}
