@@ -124,7 +124,9 @@ class TrainerConfig:
     # Decode schedule for eval/test: "auto" (XLA mxu path on TPU),
     # "persistent" (single-launch Pallas kernel, ops/persistent_decode.py
     # — the GQA serving path; early-exits in-launch since r4), "mxu",
-    # "xla". Persistent implies int8 cross-KV / bf16 self-KV semantics.
+    # "xla", or "beam<K>" (beam-search decode, plankassembly_tpu/beam.py —
+    # beyond-reference accuracy mode, e.g. "beam4"). Persistent implies
+    # int8 cross-KV / bf16 self-KV semantics.
     decode_impl: str = "auto"
     # Packed-sample cache (data/cache.py): pack each sample once into
     # memmaps under <default_root_dir>/.sample_cache; later epochs and

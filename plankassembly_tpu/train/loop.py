@@ -317,6 +317,15 @@ class Trainer:
         # CLAUDE.md perf ledger)
         bucket = pick_kv_bucket(inputs["input_mask"],
                                 quantum=self.cfg.trainer.kv_quantum)
+        impl = self.cfg.trainer.decode_impl
+        if impl.startswith("beam") and impl[4:].isdigit():
+            # beyond-reference: beam-search eval (plankassembly_tpu/beam.py)
+            from plankassembly_tpu.beam import beam_decode
+            out = beam_decode(state.params, inputs, self.dims,
+                              num_beams=int(impl[4:]),
+                              compute_dtype=self.compute_dtype,
+                              kv_bucket=bucket)
+            return arrays, out
         # kv_quant False is the config DEFAULT, not an explicit request —
         # map it to None so decode_impl='persistent' (whose int8-cross
         # semantics are built in) doesn't warn on every eval trace
@@ -324,7 +333,7 @@ class Trainer:
                             compute_dtype=self.compute_dtype,
                             kv_bucket=bucket,
                             kv_quant=self.cfg.trainer.kv_quant or None,
-                            cross_impl=self.cfg.trainer.decode_impl)
+                            cross_impl=impl)
         return arrays, out
 
     def validate(self, state: TrainState) -> tuple[float, float, float]:

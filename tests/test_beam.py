@@ -82,6 +82,26 @@ def test_beam_outputs_well_formed(setup):
                    for k in range(beam_samples.shape[1]))
 
 
+def test_trainer_decode_impl_beam(setup, tmp_path):
+    """cfg.trainer.decode_impl='beam<K>' routes the eval decode through
+    beam_decode (config plumb-through used by trainer_*.py test)."""
+    import dataclasses
+    import types
+
+    from plankassembly_tpu.train.loop import Trainer
+
+    cfg, dims, params, batch = setup
+    cfg = dataclasses.replace(
+        cfg, trainer=dataclasses.replace(
+            cfg.trainer, decode_impl="beam2", accelerator="cpu",
+            default_root_dir=str(tmp_path)))
+    tr = Trainer(cfg, log_dir=str(tmp_path), compute_dtype=jnp.float32)
+    state = types.SimpleNamespace(params=params)
+    arrays, out = tr._decode_batch(state, dict(batch))
+    assert "beam_scores" in out and out["beam_scores"].shape == (2, 2)
+    assert out["samples"].shape == (2, dims.max_output_length)
+
+
 def test_beam_early_exit_reports_steps(setup):
     cfg, dims, params, batch = setup
     out = beam_decode(params, batch, dims, num_beams=2,
