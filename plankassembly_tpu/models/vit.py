@@ -145,3 +145,22 @@ def greedy_decode_raster(params, batch, dims: ModelDims, vit: VitDims,
     return decode_from_memory(params, memory, no_pad, dims,
                               compute_dtype=compute_dtype,
                               early_exit=early_exit)
+
+
+@partial(jax.jit, static_argnames=("dims", "vit", "num_beams",
+                                   "compute_dtype", "alpha"))
+def beam_decode_raster(params, batch, dims: ModelDims, vit: VitDims,
+                       num_beams: int = 4, compute_dtype=jnp.bfloat16,
+                       alpha: float = 0.0):
+    """Beam-search decode for the raster modality (shared beam loop;
+    `plankassembly_tpu/beam.py` — the decoder stack is identical, only
+    the encoder differs, so the beam rides the same per-program memory)."""
+    from plankassembly_tpu.beam import beam_decode_from_memory
+
+    memory = encode_raster(params, batch_images(batch, vit), dims, vit,
+                           deterministic=True, compute_dtype=compute_dtype,
+                           flash=True)
+    no_pad = jnp.zeros(memory.shape[:2], bool)
+    return beam_decode_from_memory(params, memory, no_pad, dims,
+                                   num_beams=num_beams,
+                                   compute_dtype=compute_dtype, alpha=alpha)

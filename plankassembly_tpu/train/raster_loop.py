@@ -70,6 +70,14 @@ class RasterTrainer(Trainer):
         raster_in = {k: v for k, v in arrays.items()
                      if k in ("input_image", "input_lines",
                               "input_line_view", "input_line_inten")}
+        impl = self.cfg.trainer.decode_impl
+        if impl.startswith("beam") and impl[4:].isdigit():
+            from plankassembly_tpu.models.vit import beam_decode_raster
+            out = beam_decode_raster(state.params, raster_in,
+                                     self.dims, self.vit,
+                                     num_beams=int(impl[4:]),
+                                     compute_dtype=self.compute_dtype)
+            return arrays, out
         out = greedy_decode_raster(state.params, raster_in,
                                    self.dims, self.vit,
                                    compute_dtype=self.compute_dtype)

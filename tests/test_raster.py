@@ -81,6 +81,22 @@ def test_raster_decode(setup):
     assert out["samples"].shape == (2, DIMS.max_output_length)
 
 
+def test_raster_beam_decode_beam1_matches_greedy(setup):
+    from plankassembly_tpu.models.vit import beam_decode_raster
+
+    params, batch = setup
+    raster_in = {"input_image": batch["input_image"]}
+    g = greedy_decode_raster(params, raster_in, DIMS, VIT,
+                             compute_dtype=jnp.float32)
+    b = beam_decode_raster(params, raster_in, DIMS, VIT, num_beams=1,
+                           compute_dtype=jnp.float32)
+    gs, bs = np.asarray(g["samples"]), np.asarray(b["samples"])
+    for i in range(gs.shape[0]):
+        hits = np.nonzero(gs[i] == DIMS.end)[0]
+        n = hits[0] + 1 if hits.size else gs.shape[1]
+        np.testing.assert_array_equal(gs[i, :n], bs[i, :n])
+
+
 def test_raster_trainer_e2e(tmp_path):
     """Full raster pipeline: info JSONs -> RasterDataset -> fit -> test."""
     import json
