@@ -19,7 +19,8 @@ executed steps, and macro P/R/F1 over the split.
 Usage:
   python tools/bench_trained_serving.py \
       --ckpt checkpoints/gqa_complete_ep181.npz \
-      [--impls mxu,persistent] [--batch 256] [--bucket 512]
+      [--impls mxu,persistent,beam4] [--batch 256] [--bucket 0|512]
+      [--reverse --limit 5]   # benchmark the hard tail of the split
       [--split /root/data/splits/test.txt] [--root /root/data/data/complete/infos]
 """
 import argparse

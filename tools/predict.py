@@ -110,8 +110,9 @@ def main():
                     help="orbax checkpoint dir or released .npz")
     ap.add_argument("--hparams", default=None,
                     help="hparams.yaml override (default: next to ckpt)")
-    ap.add_argument("--info", nargs="*", default=[],
-                    help="info JSON files (prepare_info contract)")
+    ap.add_argument("--info", nargs="*", action="append", default=[],
+                    help="info JSON files (prepare_info contract); "
+                    "repeatable, each occurrence takes one or more paths")
     ap.add_argument("--info_dir", default=None,
                     help="directory of info JSONs (all *.json)")
     ap.add_argument("--svg", nargs="*", default=[],
@@ -154,7 +155,7 @@ def main():
     dims = ModelDims.from_config(cfg)
 
     samples = []
-    infos = list(args.info)
+    infos = [p for group in args.info for p in group]
     if args.info_dir:
         infos += sorted(
             os.path.join(args.info_dir, f)
@@ -167,6 +168,11 @@ def main():
         raise SystemExit("no inputs: pass --info/--info_dir and/or --svg")
 
     os.makedirs(args.out, exist_ok=True)
+    # length-sorted batching (the eval loop's policy): programs of similar
+    # input length share a batch, so each batch early-exits together and
+    # picks the smallest kv bucket — outputs are per-name files, so the
+    # serve order is free to choose
+    samples.sort(key=lambda s: int((~s[1]["input_mask"]).sum()))
     n_done = 0
     for lo in range(0, len(samples), args.batch):
         chunk = samples[lo:lo + args.batch]
