@@ -1,0 +1,123 @@
+"""AOT serving artifacts (`plankassembly_tpu/export.py`).
+
+Semantic anchors:
+- a saved+loaded artifact reproduces the live `greedy_decode` (and
+  `beam_decode`) tokens bit-exactly — weights baked into StableHLO
+  constants survive the round trip;
+- request padding is inert: a 1-row request against a 2-row artifact
+  returns exactly the 1-row live result (per-row independence of the
+  decode program);
+- the PSRV1 container round-trips its serving-contract header.
+"""
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from plankassembly_tpu.decode import greedy_decode
+from plankassembly_tpu.export import (
+    export_serving, load_artifact, save_artifact,
+)
+from plankassembly_tpu.models.model import ModelDims, init_params
+from tests.tiny import random_batch, tiny_config
+
+BUCKET = 31  # tiny MAX_INPUT_LENGTH - 1 (no crop; CPU tests skip the
+             # 128-multiple TPU layout rule)
+
+
+@pytest.fixture(scope="module")
+def setup(tmp_path_factory):
+    cfg = tiny_config()
+    dims = ModelDims.from_config(cfg)
+    params = init_params(jax.random.PRNGKey(0), dims)
+    batch = random_batch(cfg)
+    blob, meta = export_serving(params, cfg, batch=2, bucket=BUCKET,
+                                platforms=("cpu",),
+                                compute_dtype=jnp.float32)
+    path = str(tmp_path_factory.mktemp("psrv") / "tiny.psrv")
+    save_artifact(path, blob, meta)
+    return cfg, dims, params, batch, path
+
+
+def test_artifact_matches_live_decode(setup):
+    cfg, dims, params, batch, path = setup
+    prog = load_artifact(path)
+    inputs = {k: v for k, v in batch.items() if k.startswith("input")}
+    got = prog(inputs)
+    want = greedy_decode(params,
+                         {k: jnp.asarray(v) for k, v in inputs.items()},
+                         dims, compute_dtype=jnp.float32, kv_bucket=BUCKET,
+                         kv_quant=True, cross_impl="mxu")
+    np.testing.assert_array_equal(got["samples"], np.asarray(want["samples"]))
+    np.testing.assert_array_equal(got["attach"], np.asarray(want["attach"]))
+    assert int(got["num_steps"]) == int(want["num_steps"])
+
+
+def test_header_round_trip(setup):
+    cfg, dims, params, batch, path = setup
+    prog = load_artifact(path)
+    m = prog.meta
+    assert m["batch"] == 2 and m["bucket"] == BUCKET and m["beam"] == 0
+    assert m["platforms"] == ["cpu"]
+    assert m["token_end"] == dims.end and m["token_pad"] == dims.pad
+    assert sorted(m["input_keys"]) == sorted(m["input_dtypes"])
+
+
+def test_row_padding_is_inert(setup):
+    cfg, dims, params, batch, path = setup
+    prog = load_artifact(path)
+    inputs = {k: v for k, v in batch.items() if k.startswith("input")}
+    full = prog(inputs)
+    one = prog({k: v[:1] for k, v in inputs.items()})
+    assert one["samples"].shape[0] == 1
+    np.testing.assert_array_equal(one["samples"][0], full["samples"][0])
+    np.testing.assert_array_equal(one["attach"][0], full["attach"][0])
+
+
+def test_oversized_request_rejected(setup):
+    cfg, dims, params, batch, path = setup
+    prog = load_artifact(path)
+    inputs = {k: np.concatenate([v, v], axis=0) for k, v in batch.items()
+              if k.startswith("input")}
+    with pytest.raises(ValueError, match="rows"):
+        prog(inputs)
+
+
+def test_real_tokens_beyond_bucket_rejected(setup):
+    cfg, dims, params, batch, path = setup
+    prog = load_artifact(path)
+    wide = dataclasses.replace(
+        cfg, DATA=dataclasses.replace(cfg.DATA, MAX_INPUT_LENGTH=40))
+    inputs = {k: v for k, v in random_batch(wide).items()
+              if k.startswith("input")}
+    assert inputs["input_value"].shape[1] > BUCKET
+    with pytest.raises(ValueError, match="beyond the exported bucket"):
+        prog(inputs)
+
+
+def test_beam_artifact_matches_live_beam(setup, tmp_path):
+    cfg, dims, params, batch, _ = setup
+    from plankassembly_tpu.beam import beam_decode
+
+    blob, meta = export_serving(params, cfg, batch=2, bucket=BUCKET,
+                                beam=2, platforms=("cpu",),
+                                compute_dtype=jnp.float32)
+    path = str(tmp_path / "beam.psrv")
+    save_artifact(path, blob, meta)
+    prog = load_artifact(path)
+    inputs = {k: v for k, v in batch.items() if k.startswith("input")}
+    got = prog(inputs)
+    want = beam_decode(params,
+                       {k: jnp.asarray(v) for k, v in inputs.items()},
+                       dims, num_beams=2, compute_dtype=jnp.float32)
+    np.testing.assert_array_equal(got["samples"], np.asarray(want["samples"]))
+    np.testing.assert_array_equal(got["attach"], np.asarray(want["attach"]))
+
+
+def test_bad_magic_rejected(tmp_path):
+    p = tmp_path / "junk.psrv"
+    p.write_bytes(b"NOTPSRV" + b"\0" * 64)
+    with pytest.raises(ValueError, match="PSRV1"):
+        load_artifact(str(p))

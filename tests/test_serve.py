@@ -1,0 +1,134 @@
+"""Online serving (`plankassembly_tpu/serving.py`, `tools/serve.py`).
+
+Semantic anchors:
+- a BatchingServer row equals the direct `greedy_decode` row bit-exactly
+  (the dynamic batcher's padding is inert);
+- concurrent HTTP requests share one compiled program call
+  (`batched_rows` > 1) — the fixed-shape multiplexing that makes online
+  serving recompile-free;
+- the HTTP contract: prepare_info-style JSON in, planks + attach out,
+  errors as 4xx/5xx JSON rather than a dead connection.
+"""
+import json
+import threading
+import urllib.request
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from plankassembly_tpu.decode import greedy_decode
+from plankassembly_tpu.models.model import ModelDims, init_params
+from plankassembly_tpu.serving import (
+    BatchingServer, make_http_server, make_live_backend, pack_info_dict,
+    postprocess_prediction,
+)
+from tests.tiny import random_batch, tiny_config
+
+BUCKET = 31
+
+
+def _tiny_info(seed=0, n=7):  # 7 lines * 4 dof + END = 29 <= tiny Li 31
+    rng = np.random.default_rng(seed)
+    lo = rng.uniform(-1, 0, (n, 2))
+    hi = lo + rng.uniform(0.05, 0.9, (n, 2))
+    lines = np.concatenate([lo, np.minimum(hi, 0.999)], axis=1)
+    return {"name": f"tiny{seed}",
+            "lines": lines.round(3).tolist(),
+            "views": (np.arange(n) % 3).tolist(),
+            "types": (np.arange(n) % 2).tolist()}
+
+
+@pytest.fixture(scope="module")
+def served():
+    cfg = tiny_config()
+    dims = ModelDims.from_config(cfg)
+    params = init_params(jax.random.PRNGKey(0), dims)
+    backend, meta = make_live_backend(
+        params, cfg, batch=2, bucket=BUCKET, compute_dtype=jnp.float32,
+        cross_impl="mxu")
+    server = BatchingServer(backend, meta, max_wait_ms=300.0)
+    httpd = make_http_server(server, cfg, dims, port=0)
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{httpd.server_address[1]}"
+    yield cfg, dims, params, server, base
+    httpd.shutdown()
+    server.close()
+
+
+def _post(base, path, obj, timeout=240):
+    req = urllib.request.Request(
+        base + path, data=json.dumps(obj).encode(),
+        headers={"Content-Type": "application/json"})
+    try:
+        with urllib.request.urlopen(req, timeout=timeout) as r:
+            return r.status, json.loads(r.read().decode())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read().decode())
+
+
+def test_batcher_matches_direct_decode(served):
+    cfg, dims, params, server, base = served
+    batch = random_batch(cfg)
+    inputs = {k: v for k, v in batch.items() if k.startswith("input")}
+    row = server.submit({k: v[0] for k, v in inputs.items()})
+    want = greedy_decode(params,
+                         {k: jnp.asarray(v[:1]) for k, v in inputs.items()},
+                         dims, compute_dtype=jnp.float32, kv_bucket=BUCKET,
+                         kv_quant=True, cross_impl="mxu")
+    np.testing.assert_array_equal(row["samples"],
+                                  np.asarray(want["samples"])[0])
+    np.testing.assert_array_equal(row["attach"],
+                                  np.asarray(want["attach"])[0])
+
+
+def test_http_reconstruct_and_health(served):
+    cfg, dims, params, server, base = served
+    code, out = _post(base, "/v1/reconstruct", _tiny_info(1))
+    assert code == 200, out
+    assert out["name"] == "tiny1"
+    pred = np.asarray(out["prediction"])
+    assert pred.ndim == 2 and pred.shape[1] == dims.num_output_dof
+    assert len(out["attach"]) == len(out["prediction"])
+    # response prediction equals the offline pipeline on the same input
+    sample = pack_info_dict(_tiny_info(1), cfg)
+    row = server.submit({k: v for k, v in sample.items()
+                         if k.startswith("input")})
+    want_pred, want_attach = postprocess_prediction(
+        row["samples"], row["attach"], dims)
+    np.testing.assert_array_equal(pred, want_pred)
+    assert out["attach"] == want_attach
+
+    with urllib.request.urlopen(base + "/healthz", timeout=30) as r:
+        health = json.loads(r.read().decode())
+    assert health["ok"] and health["rows_served"] >= 1
+    with urllib.request.urlopen(base + "/meta", timeout=30) as r:
+        meta = json.loads(r.read().decode())
+    assert meta["batch"] == 2 and meta["bucket"] == BUCKET
+
+
+def test_concurrent_requests_share_a_batch(served):
+    cfg, dims, params, server, base = served
+    results = [None, None]
+
+    def hit(i):
+        results[i] = _post(base, "/v1/reconstruct", _tiny_info(10 + i))
+
+    threads = [threading.Thread(target=hit, args=(i,)) for i in range(2)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=240)
+    rows = [r[1]["batched_rows"] for r in results if r and r[0] == 200]
+    assert len(rows) == 2, results
+    assert max(rows) == 2, "requests arriving within max_wait must batch"
+
+
+def test_http_errors(served):
+    cfg, dims, params, server, base = served
+    code, out = _post(base, "/v1/bogus", {})
+    assert code == 404
+    code, out = _post(base, "/v1/reconstruct", {"views": [0]})  # no lines/svgs
+    assert code == 500 and "error" in out

@@ -69,19 +69,12 @@ def load_params_and_config(ckpt_path, hparams_path=None):
 
 def sample_from_info(path, cfg):
     """Pack one info JSON's input streams (no GT keys required)."""
-    from plankassembly_tpu.data import geometry as geo
-    from plankassembly_tpu.data.packing import pack_input_sequence
+    from plankassembly_tpu.serving import pack_info_dict
 
     with open(path) as f:
         info = json.load(f)
-    if "lines" in info:
-        lines = np.array(info["lines"], dtype=np.float64)
-    else:
-        lines = geo.bounds_many([geo.from_geojson(s) for s in info["svgs"]])
     name = info.get("name", os.path.splitext(os.path.basename(path))[0])
-    return name, pack_input_sequence(
-        lines, np.asarray(info["views"]), np.asarray(info["types"]),
-        cfg.DATA, cfg.TOKEN, with_type=True)
+    return name, pack_info_dict(info, cfg)
 
 
 def sample_from_svgs(paths, cfg, name="sample"):
@@ -145,10 +138,9 @@ def main():
                           os.path.abspath(__file__))), ".jax_cache"))
     import jax.numpy as jnp
 
-    from plankassembly_tpu.decode import (
-        greedy_decode, parse_sequence, pick_kv_bucket,
-    )
+    from plankassembly_tpu.decode import greedy_decode, pick_kv_bucket
     from plankassembly_tpu.models.model import ModelDims
+    from plankassembly_tpu.serving import postprocess_prediction
     from plankassembly_tpu.tokens import dequantize_values
 
     params, cfg = load_params_and_config(args.ckpt, args.hparams)
@@ -193,14 +185,8 @@ def main():
         out_samples = np.asarray(out["samples"])
         out_attach = np.asarray(out["attach"])
         for i, (name, _) in enumerate(chunk):
-            pred = parse_sequence(out_samples[i], dims)
-            # zero-extent plank filter, bbox row kept
-            # (`trainer_complete.py:100-101`)
-            if len(pred) > 0:
-                body = pred[1:]
-                keep = np.all(np.abs(body[:, 3:] - body[:, :3]) != 0, axis=1)
-                pred = np.concatenate([pred[:1], body[keep]])
-            attach = out_attach[i][: pred.size].reshape(-1, 6).tolist()
+            pred, attach = postprocess_prediction(
+                out_samples[i], out_attach[i], dims)
             with open(os.path.join(args.out, f"{name}.json"), "w") as f:
                 json.dump({"prediction": pred.tolist(), "attach": attach},
                           f, indent=4, separators=(", ", ": "))
