@@ -67,10 +67,12 @@ def precompute_cross_kv(params, memory, dims: ModelDims, compute_dtype):
 
 @partial(jax.jit, static_argnames=("dims", "compute_dtype", "early_exit",
                                    "kv_bucket", "kv_quant", "cross_impl",
-                                   "gqa_self_impl", "self_quant"))
+                                   "gqa_self_impl", "self_quant",
+                                   "weight_quant"))
 def greedy_decode(params, batch, dims: ModelDims, compute_dtype=jnp.bfloat16,
                   early_exit=True, kv_bucket=None, kv_quant=None,
-                  cross_impl="auto", gqa_self_impl="auto", self_quant=None):
+                  cross_impl="auto", gqa_self_impl="auto", self_quant=None,
+                  weight_quant=False):
     """Batched greedy decode. Returns dict with:
       samples (B, S) int32 generated tokens,
       attach  (B, S) int32 pointer indices (-1 = none),
@@ -92,13 +94,52 @@ def greedy_decode(params, batch, dims: ModelDims, compute_dtype=jnp.bfloat16,
                               early_exit=early_exit, kv_quant=kv_quant,
                               cross_impl=cross_impl,
                               gqa_self_impl=gqa_self_impl,
-                              self_quant=self_quant)
+                              self_quant=self_quant,
+                              weight_quant=weight_quant)
+
+
+def quantize_decoder_weights(params):
+    """Pre-quantize the decode loop's weight matrices to int8 out-of-trace.
+
+    Returns a params pytree where each weight the decode loop re-reads
+    every step (self-attention q/k/v/o, cross-attention q/o, both FFN
+    matmuls, the vocab and pointer heads) becomes
+    ``{"q": int8 (..., K, N), "s": f32 (..., N)}`` (symmetric
+    per-output-channel). `decode_from_memory` consumes this form
+    directly, skipping its own trace-time quantization — which is what
+    lets `export.py` bake the int8 tensors (not the f32 originals) as
+    StableHLO constants, halving the artifact. Weights consumed once
+    outside the loop (encoder, embeddings, cross-attention K/V
+    projections, norms, biases, switch head) stay full precision.
+    """
+    def _q(w):
+        w32 = jnp.asarray(w, jnp.float32)
+        s = jnp.maximum(jnp.abs(w32).max(axis=-2) / 127.0, 1e-12)
+        return {"q": jnp.round(w32 / s[..., None, :]).astype(jnp.int8),
+                "s": s}
+
+    dec = dict(params["decoder"])
+    dec["self_attn"] = {k: _q(v) if k in ("wq", "wk", "wv", "wo") else v
+                        for k, v in dec["self_attn"].items()}
+    dec["cross_attn"] = {k: _q(v) if k in ("wq", "wo") else v
+                         for k, v in dec["cross_attn"].items()}
+    dec["ffn"] = {k: _q(v) if k in ("w1", "w2") else v
+                  for k, v in dec["ffn"].items()}
+    heads = {h: ({**params["heads"][h], "w": _q(params["heads"][h]["w"])}
+                 if h in ("vocab", "pointer") else params["heads"][h])
+             for h in params["heads"]}
+    return {**params, "decoder": dec, "heads": heads}
+
+
+def _is_prequantized(w) -> bool:
+    return isinstance(w, dict) and "q" in w
 
 
 def decode_from_memory(params, memory, memory_mask, dims: ModelDims,
                        compute_dtype=jnp.bfloat16, early_exit=True,
                        kv_quant=None, cross_impl="auto",
-                       gqa_self_impl="auto", self_quant=None):
+                       gqa_self_impl="auto", self_quant=None,
+                       weight_quant=False):
     """KV-cached decode loop over a precomputed encoder memory — shared by
     the token-input model and the raster/ViT variant (`models/vit.py`).
     memory (B, Li, D); memory_mask (B, Li) bool True = padded key.
@@ -120,6 +161,18 @@ def decode_from_memory(params, memory, memory_mask, dims: ModelDims,
     weight scale folds x 6 layers); on a schedule-bound loop the op-count
     cost can exceed the traffic saving — decouple to measure
     (tools/bench_fused.py --self-quant).
+
+    weight_quant: int8-quantize the decoder + head weight matrices
+    (symmetric per-output-channel; biases/norms/embeddings stay f32).
+    The loop re-reads every decoder weight from HBM each step, so at
+    small serving batches (B <= ~64, e.g. the online service's B=16)
+    weights — not KV — dominate per-step traffic; int8 halves that
+    stream, and the per-column scale folds into the matmul output (one
+    (B,1,N) multiply). Dequant happens inside the loop body so the HBM
+    stream stays int8 (same structure as the int8 cross-KV path, whose
+    in-loop `astype` measurably does NOT get hoisted by XLA). Ignored
+    (with a warning) by the persistent/fused/kernel Pallas impls, whose
+    weight layouts are baked into the kernels.
 
     gqa_self_impl (G > 1 only): how grouped-query self-attention contracts
     against its kv-head-wide cache. "expand" broadcasts K/V to all H query
@@ -145,6 +198,18 @@ def decode_from_memory(params, memory, memory_mask, dims: ModelDims,
                          f"one of {_IMPLS}")
     if cross_impl == "auto":
         cross_impl = "mxu" if jax.default_backend() == "tpu" else "xla"
+    prequantized = _is_prequantized(params["decoder"]["self_attn"]["wq"])
+    if weight_quant and not prequantized and cross_impl not in ("mxu", "xla"):
+        warnings.warn(
+            f"weight_quant is only implemented for the mxu/xla decode "
+            f"paths; ignored with cross_impl={cross_impl!r}", stacklevel=2)
+        weight_quant = False
+    if prequantized:
+        if cross_impl not in ("mxu", "xla"):
+            raise ValueError(
+                "pre-quantized decoder weights (quantize_decoder_weights) "
+                f"require cross_impl 'mxu'/'xla', got {cross_impl!r}")
+        weight_quant = True
     if gqa_self_impl == "auto":
         gqa_self_impl = "expand" if memory.shape[0] <= 256 else "grouped"
     if cross_impl in ("persistent", "persistent-interpret"):
@@ -329,11 +394,57 @@ def decode_from_memory(params, memory, memory_mask, dims: ModelDims,
     n1_l = [_layer(dec["norm1"], l) for l in range(L)]
     n2_l = [_layer(dec["norm2"], l) for l in range(L)]
     n3_l = [_layer(dec["norm3"], l) for l in range(L)]
-    # fused QKV: one (D, 3D) matmul per self-attention instead of three
-    wqkv_l = [jnp.concatenate([p["wq"], p["wk"], p["wv"]], axis=1).astype(cd)
-              for p in sa_l]
+    if weight_quant and not prequantized:
+        def _qw(w):
+            """(K, N) -> int8 weights + per-output-channel f32 scale."""
+            w32 = w.astype(jnp.float32)
+            s = jnp.maximum(jnp.abs(w32).max(axis=0) / 127.0, 1e-12)
+            return jnp.round(w32 / s).astype(jnp.int8), s
+    elif prequantized:
+        def _qw(w):
+            return w["q"], w["s"]
+    else:
+        def _qw(w):
+            return w, None
+
+    def _mm(x, wq, s):
+        """x @ W with an optionally int8 W: dequant scale folds into the
+        matmul OUTPUT (per-column), so the weight's HBM stream stays
+        int8 inside the loop body."""
+        y = x @ wq.astype(x.dtype)
+        return y if s is None else y * s.astype(x.dtype)
+
+    # fused QKV: one (D, 3D) matmul per self-attention instead of three.
+    # Per-output-channel quantization commutes with column concatenation,
+    # so pre-quantized q/k/v concat directly (int8 blocks + scale vectors).
+    if prequantized:
+        wqkv_q = [(jnp.concatenate([p["wq"]["q"], p["wk"]["q"],
+                                    p["wv"]["q"]], axis=1),
+                   jnp.concatenate([p["wq"]["s"], p["wk"]["s"],
+                                    p["wv"]["s"]]))
+                  for p in sa_l]
+    elif weight_quant:
+        # quantize from the f32 concat (bit-identical to the
+        # quantize_decoder_weights -> concat order of the artifact path)
+        wqkv_q = [_qw(jnp.concatenate([p["wq"], p["wk"], p["wv"]], axis=1))
+                  for p in sa_l]
+    else:
+        wqkv_q = [(jnp.concatenate(
+            [p["wq"], p["wk"], p["wv"]], axis=1).astype(cd), None)
+            for p in sa_l]
     bqkv_l = [jnp.concatenate([p["bq"], p["bk"], p["bv"]]).astype(cd)
               for p in sa_l]
+    wo_q = [_qw(sa_l[l]["wo"]) for l in range(L)]
+    cq_q = [_qw(ca_l[l]["wq"]) for l in range(L)]
+    co_q = [_qw(ca_l[l]["wo"]) for l in range(L)]
+    w1_q = [_qw(ffn_l[l]["w1"]) for l in range(L)]
+    w2_q = [_qw(ffn_l[l]["w2"]) for l in range(L)]
+    if weight_quant:
+        vq, vs = _qw(heads["vocab"]["w"])
+        pq, ps = _qw(heads["pointer"]["w"])
+        heads = {"vocab": {"w": vq, "s": vs, "b": heads["vocab"]["b"]},
+                 "pointer": {"w": pq, "s": ps, "b": heads["pointer"]["b"]},
+                 "switch": heads["switch"]}
 
     struct = jnp.asarray(pointer_structure_mask(dims))  # (S, S) {0,1}
     scale = 1.0 / math.sqrt(Dh)
@@ -383,7 +494,7 @@ def decode_from_memory(params, memory, memory_mask, dims: ModelDims,
         for l in range(L):
             # self-attention with in-place cache append
             h = layer_norm(n1_l[l], x)
-            qkv = (h.astype(cd) @ wqkv_l[l] + bqkv_l[l])[:, 0]  # (B, D+2Dkv)
+            qkv = (_mm(h.astype(cd), *wqkv_q[l]) + bqkv_l[l])[:, 0]  # (B, D+2Dkv)
             q = qkv[:, :D].reshape(B, 1, H, Dh)
             k_t = qkv[:, D:D + Dkv].reshape(B, 1, kvH, Dh)
             v_t = qkv[:, D + Dkv:].reshape(B, 1, kvH, Dh)
@@ -423,13 +534,14 @@ def decode_from_memory(params, memory, memory_mask, dims: ModelDims,
                 a = grouped_out(w.astype(cd), v_cache[l], S)
             a = a.reshape(B, 1, D)
             sa = sa_l[l]
-            a = a.astype(cd) @ sa["wo"].astype(cd) + sa["bo"].astype(cd)
+            a = _mm(a.astype(cd), *wo_q[l]) + sa["bo"].astype(cd)
             x = x + a.astype(x.dtype)
 
             # cross-attention against precomputed K/V
             h = layer_norm(n2_l[l], x)
             ca = ca_l[l]
-            q2 = _project(h, ca["wq"], ca["bq"], B, H, Dh, cd)
+            q2 = (_mm(h.astype(cd), *cq_q[l])
+                  + ca["bq"].astype(cd)).reshape(B, -1, H, Dh)
             if use_kernel:
                 c = cross_attn_decode(
                     q2.reshape(B * H, Dh), ck_hm[l], cv_hm[l], bias_bh,
@@ -468,15 +580,15 @@ def decode_from_memory(params, memory, memory_mask, dims: ModelDims,
                 w = jax.nn.softmax(scores + cross_bias, axis=-1)
                 c = grouped_out(w.astype(cd), cv, Li)
                 c = c.reshape(B, 1, D)
-            c = c.astype(cd) @ ca["wo"].astype(cd) + ca["bo"].astype(cd)
+            c = _mm(c.astype(cd), *co_q[l]) + ca["bo"].astype(cd)
             x = x + c.astype(x.dtype)
 
             # feed-forward
             h = layer_norm(n3_l[l], x)
             f = ffn_l[l]
-            z = jax.nn.relu(h.astype(cd) @ f["w1"].astype(cd)
+            z = jax.nn.relu(_mm(h.astype(cd), *w1_q[l])
                             + f["b1"].astype(cd))
-            z = z @ f["w2"].astype(cd) + f["b2"].astype(cd)
+            z = _mm(z, *w2_q[l]) + f["b2"].astype(cd)
             x = x + z.astype(x.dtype)
 
         h_t = layer_norm(dec["final_norm"], x)[:, 0].astype(jnp.float32)
@@ -510,10 +622,19 @@ def _mixed_sample(heads, dims: ModelDims, struct, pos, h_t, h_cache,
     S = dims.max_output_length
     dof = dims.num_output_dof
 
-    vocab_logits = h_t @ heads["vocab"]["w"] + heads["vocab"]["b"]
+    def _head_mm(head):
+        """h_t @ w + b with an optionally int8-quantized w (see
+        decode_from_memory(weight_quant=True): 's' is the per-column
+        dequant scale)."""
+        y = h_t @ head["w"].astype(h_t.dtype)
+        if "s" in head:
+            y = y * head["s"]
+        return y + head["b"]
+
+    vocab_logits = _head_mm(heads["vocab"])
     vocab_probs = jax.nn.softmax(vocab_logits, axis=-1)
 
-    feature = h_t @ heads["pointer"]["w"] + heads["pointer"]["b"]
+    feature = _head_mm(heads["pointer"])
     pointer_logits = jnp.einsum("bd,bsd->bs", feature, h_cache)
     pointer_logits = pointer_logits / dims.num_model
     prob = jax.nn.sigmoid(h_t @ heads["switch"]["w"] + heads["switch"]["b"])

@@ -19,7 +19,7 @@ executed steps, and macro P/R/F1 over the split.
 Usage:
   python tools/bench_trained_serving.py \
       --ckpt checkpoints/gqa_complete_ep181.npz \
-      [--impls mxu,persistent,beam4] [--batch 256] [--bucket 0|512]
+      [--impls mxu,persistent,beam4,mxu-wq8] [--batch 256] [--bucket 0|512]
       [--reverse --limit 5]   # benchmark the hard tail of the split
       [--split /root/data/splits/test.txt] [--root /root/data/data/complete/infos]
 """
@@ -105,11 +105,12 @@ def main():
     impls = args.impls.split(",")
     known = ("auto", "xla", "mxu", "persistent", "persistent-interpret")
     bad = [i for i in impls
-           if i not in known and not (i.startswith("beam")
-                                      and i[4:].isdigit())]
+           if i.removesuffix("-wq8") not in known
+           and not (i.startswith("beam") and i[4:].isdigit())]
     if bad:
-        sys.exit(f"unknown --impls {bad}; choose from {known} or beam<K> "
-                 "(beam-search decode, plankassembly_tpu/beam.py)")
+        sys.exit(f"unknown --impls {bad}; choose from {known} (each takes "
+                 "an optional -wq8 suffix = int8 weight quantization) or "
+                 "beam<K> (beam-search decode, plankassembly_tpu/beam.py)")
     if len(ds) == 0:
         sys.exit(f"empty split: {args.split}")
 
@@ -125,14 +126,18 @@ def main():
                                    compute_dtype=jnp.bfloat16,
                                    alpha=args.alpha, kv_bucket=bucket)
         else:
-            def fn(p, b, bucket, _impl=impl):
-                return _jitted(p, b, bucket, _impl)
+            wq = impl.endswith("-wq8")
 
-            @functools.partial(jax.jit, static_argnames=("bucket", "impl"))
-            def _jitted(p, b, bucket, impl):
+            def fn(p, b, bucket, _impl=impl.removesuffix("-wq8"), _wq=wq):
+                return _jitted(p, b, bucket, _impl, _wq)
+
+            @functools.partial(jax.jit,
+                               static_argnames=("bucket", "impl", "wq"))
+            def _jitted(p, b, bucket, impl, wq):
                 return greedy_decode(
                     p, b, dims, compute_dtype=jnp.bfloat16, early_exit=True,
-                    kv_bucket=bucket, kv_quant=True, cross_impl=impl)
+                    kv_bucket=bucket, kv_quant=True, cross_impl=impl,
+                    weight_quant=wq)
 
         tot_prog = 0
         tot_time = 0.0

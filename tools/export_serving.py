@@ -32,6 +32,9 @@ def main():
     ap.add_argument("--platforms", default="cpu,tpu")
     ap.add_argument("--dtype", default="bfloat16",
                     choices=["bfloat16", "float32"])
+    ap.add_argument("--weight_quant", action="store_true",
+                    help="bake decoder/head weights as int8 constants "
+                    "(~2x smaller artifact, ~2x less per-step weight HBM)")
     ap.add_argument("--verify", action="store_true",
                     help="round-trip the artifact vs the live decode path")
     ap.add_argument("--cpu", action="store_true",
@@ -57,7 +60,7 @@ def main():
     blob, meta = export_serving(
         params, cfg, batch=args.batch, bucket=args.bucket, beam=args.beam,
         platforms=[p.strip() for p in args.platforms.split(",") if p.strip()],
-        compute_dtype=dtype)
+        compute_dtype=dtype, weight_quant=args.weight_quant)
     meta["checkpoint"] = os.path.basename(args.ckpt)
     os.makedirs(os.path.dirname(os.path.abspath(args.out)), exist_ok=True)
     save_artifact(args.out, blob, meta)
@@ -86,7 +89,16 @@ def main():
                                dims, num_beams=args.beam,
                                compute_dtype=dtype)
         else:
-            from plankassembly_tpu.decode import greedy_decode
+            from plankassembly_tpu.decode import (
+                greedy_decode, quantize_decoder_weights,
+            )
+            if args.weight_quant:
+                # compare against the same out-of-trace quantization the
+                # artifact baked in (in-trace weight_quant=True quantizes
+                # inside the jitted program, where XLA's algebraic
+                # rearrangement of the quantize ops can flip a handful of
+                # int8 levels — a different, equally valid quantization)
+                params = quantize_decoder_weights(params)
             want = greedy_decode(params,
                                  {k: jnp.asarray(v) for k, v in batch.items()
                                   if k.startswith("input")},
