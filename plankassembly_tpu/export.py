@@ -50,7 +50,7 @@ _INPUT_DTYPES = {
 def export_serving(params, cfg: Config, *, batch: int, bucket: int,
                    beam: int = 0, platforms=("cpu", "tpu"),
                    compute_dtype=jnp.bfloat16, early_exit: bool = True,
-                   weight_quant: bool = False):
+                   weight_quant: bool = False, data_parallel: int = 1):
     """Trace + serialize the serving program. Returns (blob, meta).
 
     batch/bucket fix the compiled shapes (static shapes are the TPU
@@ -58,8 +58,17 @@ def export_serving(params, cfg: Config, *, batch: int, bucket: int,
     greedy. Weights are closed over, so they serialize as constants;
     `weight_quant=True` bakes the decoder/head weights as int8 constants
     with in-loop dequant (~2x smaller artifact, ~2x less per-step weight
-    HBM traffic — the dominant stream at small serving batches)."""
+    HBM traffic — the dominant stream at small serving batches).
+
+    data_parallel > 1 exports an SPMD program: the batch axis shards over
+    a `data_parallel`-device ('data',) mesh (weights replicate; decode is
+    row-independent, so there are no cross-device collectives on the hot
+    path). The one artifact then drives a whole serving pod — loading it
+    requires exactly `data_parallel` visible devices."""
     dims = ModelDims.from_config(cfg)
+    if batch % data_parallel:
+        raise ValueError(f"batch {batch} must divide over "
+                         f"data_parallel={data_parallel}")
     if bucket > cfg.DATA.MAX_INPUT_LENGTH - 1:
         raise ValueError(
             f"bucket {bucket} exceeds the model's trained input width "
@@ -93,10 +102,20 @@ def export_serving(params, cfg: Config, *, batch: int, bucket: int,
             return {"samples": out["samples"], "attach": out["attach"],
                     "num_steps": out["num_steps"]}
 
-    specs = {k: jax.ShapeDtypeStruct((batch, bucket), dt)
-             for k, dt in _INPUT_DTYPES.items()}
-    exported = jax.export.export(jax.jit(fn),
-                                 platforms=list(platforms))(specs)
+    if data_parallel > 1:
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+        mesh = Mesh(np.array(jax.devices()[:data_parallel]), ("data",))
+        row = NamedSharding(mesh, P("data"))
+        specs = {k: jax.ShapeDtypeStruct((batch, bucket), dt, sharding=row)
+                 for k, dt in _INPUT_DTYPES.items()}
+        out_sh = {"samples": row, "attach": row,
+                  "num_steps": NamedSharding(mesh, P())}
+        jit_fn = jax.jit(fn, out_shardings=out_sh)
+    else:
+        specs = {k: jax.ShapeDtypeStruct((batch, bucket), dt)
+                 for k, dt in _INPUT_DTYPES.items()}
+        jit_fn = jax.jit(fn)
+    exported = jax.export.export(jit_fn, platforms=list(platforms))(specs)
     meta = {
         "format": "PSRV1",
         "batch": batch,
@@ -105,6 +124,7 @@ def export_serving(params, cfg: Config, *, batch: int, bucket: int,
         "platforms": list(platforms),
         "early_exit": bool(early_exit and beam < 2),
         "weight_quant": bool(weight_quant and beam < 2),
+        "data_parallel": data_parallel,
         "compute_dtype": jnp.dtype(compute_dtype).name,
         "input_keys": sorted(_INPUT_DTYPES),
         "input_dtypes": {k: np.dtype(v).name for k, v in
@@ -184,6 +204,19 @@ class ServingProgram:
 
     def __call__(self, batch: dict) -> dict:
         padded, rows = pad_request(batch, self.meta)
+        dp = self.meta.get("data_parallel", 1)
+        if dp > 1:
+            # an SPMD artifact must be invoked in a dp-device context:
+            # shard the batch axis over the first dp devices (the mesh
+            # layout the program was exported with)
+            from jax.sharding import Mesh, NamedSharding, PartitionSpec
+            if len(jax.devices()) < dp:
+                raise ValueError(
+                    f"artifact was exported for {dp} devices; "
+                    f"{len(jax.devices())} visible")
+            mesh = Mesh(np.array(jax.devices()[:dp]), ("data",))
+            row = NamedSharding(mesh, PartitionSpec("data"))
+            padded = {k: jax.device_put(v, row) for k, v in padded.items()}
         out = self.exported.call(padded)
         return {k: np.asarray(v)[:rows] if np.ndim(v) else np.asarray(v)
                 for k, v in out.items()}

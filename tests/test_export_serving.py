@@ -141,6 +141,32 @@ def test_weight_quant_artifact(setup, tmp_path):
     np.testing.assert_array_equal(got["samples"], np.asarray(want["samples"]))
 
 
+def test_data_parallel_artifact(setup, tmp_path):
+    """SPMD artifact: the batch axis shards over an 8-device ('data',)
+    mesh (conftest forces 8 virtual CPU devices); tokens must equal the
+    single-device artifact's — decode rows are device-placement
+    invariant."""
+    cfg, dims, params, batch, single_path = setup
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device virtual mesh")
+    blob, meta = export_serving(params, cfg, batch=8, bucket=BUCKET,
+                                platforms=("cpu",),
+                                compute_dtype=jnp.float32, data_parallel=8)
+    assert meta["data_parallel"] == 8
+    path = str(tmp_path / "dp8.psrv")
+    save_artifact(path, blob, meta)
+    prog = load_artifact(path)
+    inputs = {k: np.concatenate([v] * 4, axis=0)  # 2 rows -> 8
+              for k, v in batch.items() if k.startswith("input")}
+    got = prog(inputs)
+    want = greedy_decode(params,
+                         {k: jnp.asarray(v) for k, v in inputs.items()},
+                         dims, compute_dtype=jnp.float32, kv_bucket=BUCKET,
+                         kv_quant=True, cross_impl="mxu")
+    np.testing.assert_array_equal(got["samples"], np.asarray(want["samples"]))
+    np.testing.assert_array_equal(got["attach"], np.asarray(want["attach"]))
+
+
 def test_bad_magic_rejected(tmp_path):
     p = tmp_path / "junk.psrv"
     p.write_bytes(b"NOTPSRV" + b"\0" * 64)

@@ -35,6 +35,9 @@ def main():
     ap.add_argument("--weight_quant", action="store_true",
                     help="bake decoder/head weights as int8 constants "
                     "(~2x smaller artifact, ~2x less per-step weight HBM)")
+    ap.add_argument("--data_parallel", type=int, default=1,
+                    help="export an SPMD program sharding the batch over "
+                    "N devices (requires N visible devices to trace/load)")
     ap.add_argument("--verify", action="store_true",
                     help="round-trip the artifact vs the live decode path")
     ap.add_argument("--cpu", action="store_true",
@@ -60,7 +63,8 @@ def main():
     blob, meta = export_serving(
         params, cfg, batch=args.batch, bucket=args.bucket, beam=args.beam,
         platforms=[p.strip() for p in args.platforms.split(",") if p.strip()],
-        compute_dtype=dtype, weight_quant=args.weight_quant)
+        compute_dtype=dtype, weight_quant=args.weight_quant,
+        data_parallel=args.data_parallel)
     meta["checkpoint"] = os.path.basename(args.ckpt)
     os.makedirs(os.path.dirname(os.path.abspath(args.out)), exist_ok=True)
     save_artifact(args.out, blob, meta)
