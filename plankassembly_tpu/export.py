@@ -47,6 +47,36 @@ _INPUT_DTYPES = {
 }
 
 
+def serving_meta(dims, *, batch: int, bucket: int, beam: int = 0,
+                 platforms=("cpu",), compute_dtype=jnp.bfloat16,
+                 early_exit: bool = True, weight_quant: bool = False,
+                 data_parallel: int = 1) -> dict:
+    """The serving contract header — ONE construction shared by artifacts
+    (`export_serving`) and live checkpoint backends
+    (`serving.make_live_backend`), so the two can never drift."""
+    return {
+        "format": "PSRV1",
+        "batch": batch,
+        "bucket": bucket,
+        "beam": beam,
+        "platforms": list(platforms),
+        "early_exit": bool(early_exit and beam < 2),
+        "weight_quant": bool(weight_quant),
+        "data_parallel": data_parallel,
+        "compute_dtype": jnp.dtype(compute_dtype).name,
+        "input_keys": sorted(_INPUT_DTYPES),
+        "input_dtypes": {k: np.dtype(v).name for k, v in
+                         _INPUT_DTYPES.items()},
+        "max_output_length": dims.max_output_length,
+        "num_output_dof": dims.num_output_dof,
+        "token_end": dims.end,
+        "token_pad": dims.pad,
+        "vocab_size": dims.vocab_size,
+        "num_model": dims.num_model,
+        "kv_heads": dims.kv_heads,
+    }
+
+
 def export_serving(params, cfg: Config, *, batch: int, bucket: int,
                    beam: int = 0, platforms=("cpu", "tpu"),
                    compute_dtype=jnp.bfloat16, early_exit: bool = True,
@@ -69,10 +99,21 @@ def export_serving(params, cfg: Config, *, batch: int, bucket: int,
     if batch % data_parallel:
         raise ValueError(f"batch {batch} must divide over "
                          f"data_parallel={data_parallel}")
+    if data_parallel > len(jax.devices()):
+        # Mesh(jax.devices()[:dp]) would silently build a smaller mesh
+        # while the header promised dp — a confusing failure on the
+        # serving host instead of here
+        raise ValueError(f"data_parallel={data_parallel} needs that many "
+                         f"visible devices to trace; have "
+                         f"{len(jax.devices())}")
     if bucket > cfg.DATA.MAX_INPUT_LENGTH - 1:
         raise ValueError(
             f"bucket {bucket} exceeds the model's trained input width "
             f"{cfg.DATA.MAX_INPUT_LENGTH - 1}")
+    if beam >= 2 and weight_quant:
+        raise ValueError("weight_quant is not implemented for the beam "
+                         "decoder; export greedy (beam=0) or drop "
+                         "weight_quant")
     params = jax.tree.map(jnp.asarray, params)
 
     if beam >= 2:
@@ -116,27 +157,10 @@ def export_serving(params, cfg: Config, *, batch: int, bucket: int,
                  for k, dt in _INPUT_DTYPES.items()}
         jit_fn = jax.jit(fn)
     exported = jax.export.export(jit_fn, platforms=list(platforms))(specs)
-    meta = {
-        "format": "PSRV1",
-        "batch": batch,
-        "bucket": bucket,
-        "beam": beam,
-        "platforms": list(platforms),
-        "early_exit": bool(early_exit and beam < 2),
-        "weight_quant": bool(weight_quant and beam < 2),
-        "data_parallel": data_parallel,
-        "compute_dtype": jnp.dtype(compute_dtype).name,
-        "input_keys": sorted(_INPUT_DTYPES),
-        "input_dtypes": {k: np.dtype(v).name for k, v in
-                         _INPUT_DTYPES.items()},
-        "max_output_length": dims.max_output_length,
-        "num_output_dof": dims.num_output_dof,
-        "token_end": dims.end,
-        "token_pad": dims.pad,
-        "vocab_size": dims.vocab_size,
-        "num_model": dims.num_model,
-        "kv_heads": dims.kv_heads,
-    }
+    meta = serving_meta(dims, batch=batch, bucket=bucket, beam=beam,
+                        platforms=platforms, compute_dtype=compute_dtype,
+                        early_exit=early_exit, weight_quant=weight_quant,
+                        data_parallel=data_parallel)
     return exported.serialize(), meta
 
 
@@ -201,22 +225,27 @@ class ServingProgram:
     def __init__(self, meta: dict, exported):
         self.meta = meta
         self.exported = exported
-
-    def __call__(self, batch: dict) -> dict:
-        padded, rows = pad_request(batch, self.meta)
-        dp = self.meta.get("data_parallel", 1)
+        self._row_sharding = None
+        dp = meta.get("data_parallel", 1)
         if dp > 1:
             # an SPMD artifact must be invoked in a dp-device context:
-            # shard the batch axis over the first dp devices (the mesh
-            # layout the program was exported with)
+            # requests shard their batch axis over the first dp devices
+            # (the mesh layout the program was exported with). Build the
+            # mesh/sharding ONCE — per-call construction would put six
+            # fresh transfers on the hot path every request.
             from jax.sharding import Mesh, NamedSharding, PartitionSpec
             if len(jax.devices()) < dp:
                 raise ValueError(
                     f"artifact was exported for {dp} devices; "
                     f"{len(jax.devices())} visible")
             mesh = Mesh(np.array(jax.devices()[:dp]), ("data",))
-            row = NamedSharding(mesh, PartitionSpec("data"))
-            padded = {k: jax.device_put(v, row) for k, v in padded.items()}
+            self._row_sharding = NamedSharding(mesh, PartitionSpec("data"))
+
+    def __call__(self, batch: dict) -> dict:
+        padded, rows = pad_request(batch, self.meta)
+        if self._row_sharding is not None:
+            padded = {k: jax.device_put(v, self._row_sharding)
+                      for k, v in padded.items()}
         out = self.exported.call(padded)
         return {k: np.asarray(v)[:rows] if np.ndim(v) else np.asarray(v)
                 for k, v in out.items()}

@@ -29,7 +29,7 @@ import time
 
 import numpy as np
 
-from plankassembly_tpu.export import _INPUT_DTYPES, pad_request
+from plankassembly_tpu.export import pad_request, serving_meta
 
 
 # ---------------------------------------------------------------------------
@@ -104,18 +104,9 @@ def make_live_backend(params, cfg, *, batch: int, bucket: int, beam: int = 0,
                                  cross_impl=cross_impl)
 
     jitted = jax.jit(fn)
-    meta = {
-        "batch": batch, "bucket": bucket, "beam": beam,
-        "input_keys": sorted(_INPUT_DTYPES),
-        "input_dtypes": {k: np.dtype(v).name for k, v in
-                         _INPUT_DTYPES.items()},
-        "max_output_length": dims.max_output_length,
-        "num_output_dof": dims.num_output_dof,
-        "token_end": dims.end, "token_pad": dims.pad,
-        "vocab_size": dims.vocab_size,
-        "compute_dtype": jnp.dtype(compute_dtype).name,
-        "platforms": [jax.default_backend()],
-    }
+    meta = serving_meta(dims, batch=batch, bucket=bucket, beam=beam,
+                        platforms=(jax.default_backend(),),
+                        compute_dtype=compute_dtype)
 
     def backend(request: dict) -> dict:
         padded, rows = pad_request(request, meta)
@@ -151,10 +142,32 @@ class BatchingServer:
     def close(self):
         self._stop.set()
         self._thread.join(timeout=5)
+        # fail anything still queued instead of leaving its waiter to
+        # block out the full submit() timeout
+        while True:
+            try:
+                _, done, slot = self._q.get_nowait()
+            except queue.Empty:
+                break
+            slot["error"] = RuntimeError("serving backend closed")
+            done.set()
 
     def submit(self, sample: dict, timeout: float = 300.0) -> dict:
         """sample: dict of (W,) per-sample input arrays. Returns the
-        decoded row: samples/attach/num_steps + batched_rows."""
+        decoded row: samples/attach/num_steps + batched_rows.
+
+        Validates the sample against the backend's (batch, bucket)
+        contract HERE, per request — one bad request must not poison
+        the batchmates it would share a program call with."""
+        if self._stop.is_set():
+            raise RuntimeError("serving backend closed")
+        W = self.meta["bucket"]
+        width = sample["input_value"].shape[0]
+        if width > W and not np.asarray(sample["input_mask"][W:],
+                                        bool).all():
+            raise ValueError(
+                f"request has real tokens beyond the exported bucket {W} "
+                f"(width {width}); re-export with a larger bucket")
         done = threading.Event()
         slot: dict = {}
         self._q.put((sample, done, slot))
@@ -199,10 +212,16 @@ class BatchingServer:
                 continue
             self.batches_run += 1
             self.rows_served += len(items)
+            batch_steps = int(out["num_steps"])
             for i, (_, done, slot) in enumerate(items):
-                slot["samples"] = out["samples"][i]
+                row = np.asarray(out["samples"][i])
+                slot["samples"] = row
                 slot["attach"] = out["attach"][i]
-                slot["num_steps"] = int(out["num_steps"])
+                # per-ROW step count (first END), not the batch-global
+                # early-exit bound a slow batchmate may have set
+                ends = np.nonzero(row == self.meta["token_end"])[0]
+                slot["num_steps"] = (int(ends[0]) + 1 if ends.size
+                                     else batch_steps)
                 slot["batched_rows"] = len(items)
                 done.set()
 

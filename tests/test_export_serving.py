@@ -167,6 +167,16 @@ def test_data_parallel_artifact(setup, tmp_path):
     np.testing.assert_array_equal(got["attach"], np.asarray(want["attach"]))
 
 
+def test_unsupported_export_combos_rejected(setup):
+    cfg, dims, params, batch, _ = setup
+    with pytest.raises(ValueError, match="beam"):
+        export_serving(params, cfg, batch=2, bucket=BUCKET, beam=2,
+                       platforms=("cpu",), weight_quant=True)
+    with pytest.raises(ValueError, match="visible devices"):
+        export_serving(params, cfg, batch=32, bucket=BUCKET,
+                       platforms=("cpu",), data_parallel=16)
+
+
 def test_bad_magic_rejected(tmp_path):
     p = tmp_path / "junk.psrv"
     p.write_bytes(b"NOTPSRV" + b"\0" * 64)

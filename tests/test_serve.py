@@ -132,3 +132,48 @@ def test_http_errors(served):
     assert code == 404
     code, out = _post(base, "/v1/reconstruct", {"views": [0]})  # no lines/svgs
     assert code == 500 and "error" in out
+
+
+def test_invalid_request_does_not_poison_batchmates(served):
+    """A request whose real tokens exceed the bucket must fail ALONE at
+    submit time — a valid concurrent request sharing its batching window
+    still gets served (the review finding: batch-level validation fanned
+    one bad request's error out to every waiter)."""
+    cfg, dims, params, server, base = served
+    import dataclasses
+    wide = dataclasses.replace(
+        cfg, DATA=dataclasses.replace(cfg.DATA, MAX_INPUT_LENGTH=64))
+    long_sample = pack_info_dict(_tiny_info(5, n=12), wide)  # 49 tokens
+    results = [None, None]
+
+    def bad():
+        try:
+            server.submit({k: v for k, v in long_sample.items()
+                           if k.startswith("input")})
+            results[0] = "no error"
+        except ValueError as e:
+            results[0] = str(e)
+
+    def good():
+        results[1] = _post(base, "/v1/reconstruct", _tiny_info(6))
+
+    threads = [threading.Thread(target=bad), threading.Thread(target=good)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=240)
+    assert "beyond the exported bucket" in results[0]
+    assert results[1][0] == 200, results[1]
+
+
+def test_submit_after_close_rejected():
+    cfg = tiny_config()
+    dims = ModelDims.from_config(cfg)
+    meta = {"batch": 1, "bucket": BUCKET, "token_pad": dims.pad,
+            "token_end": dims.end, "input_keys": ["input_value",
+                                                  "input_mask"]}
+    server = BatchingServer(lambda req: req, meta, max_wait_ms=1.0)
+    server.close()
+    with pytest.raises(RuntimeError, match="closed"):
+        server.submit({"input_value": np.zeros(4, np.int32),
+                       "input_mask": np.ones(4, bool)})

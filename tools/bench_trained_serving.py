@@ -104,13 +104,16 @@ def main():
 
     impls = args.impls.split(",")
     known = ("auto", "xla", "mxu", "persistent", "persistent-interpret")
+    wq8_ok = ("auto", "xla", "mxu")  # the Pallas impls ignore weight_quant
     bad = [i for i in impls
-           if i.removesuffix("-wq8") not in known
+           if (i.removesuffix("-wq8") not in
+               (wq8_ok if i.endswith("-wq8") else known))
            and not (i.startswith("beam") and i[4:].isdigit())]
     if bad:
-        sys.exit(f"unknown --impls {bad}; choose from {known} (each takes "
-                 "an optional -wq8 suffix = int8 weight quantization) or "
-                 "beam<K> (beam-search decode, plankassembly_tpu/beam.py)")
+        sys.exit(f"unknown --impls {bad}; choose from {known} "
+                 f"({'/'.join(wq8_ok)} also take a -wq8 suffix = int8 "
+                 "weight quantization) or beam<K> (beam-search decode, "
+                 "plankassembly_tpu/beam.py)")
     if len(ds) == 0:
         sys.exit(f"empty split: {args.split}")
 

@@ -32,9 +32,13 @@ def main():
                     help="hparams.yaml (required with --artifact for "
                     "request packing; default: next to --ckpt)")
     ap.add_argument("--port", type=int, default=8713)
-    ap.add_argument("--batch", type=int, default=16)
-    ap.add_argument("--bucket", type=int, default=512)
-    ap.add_argument("--beam", type=int, default=0)
+    ap.add_argument("--batch", type=int, default=None,
+                    help="live backend only (default 16); an --artifact "
+                    "carries its own compiled batch")
+    ap.add_argument("--bucket", type=int, default=None,
+                    help="live backend only (default 512)")
+    ap.add_argument("--beam", type=int, default=None,
+                    help="live backend only (default 0 = greedy)")
     ap.add_argument("--max_wait_ms", type=float, default=10.0)
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
@@ -53,6 +57,10 @@ def main():
     )
 
     if args.artifact:
+        if (args.batch, args.bucket, args.beam) != (None, None, None):
+            raise SystemExit("--batch/--bucket/--beam are compiled into an "
+                             "--artifact (see its header via /meta); they "
+                             "only apply to --ckpt live backends")
         from plankassembly_tpu.export import load_artifact
         backend = load_artifact(args.artifact)
         meta = backend.meta
@@ -64,8 +72,8 @@ def main():
         from tools.predict import load_params_and_config
         params, cfg = load_params_and_config(args.ckpt, args.hparams)
         backend, meta = make_live_backend(
-            params, cfg, batch=args.batch, bucket=args.bucket,
-            beam=args.beam)
+            params, cfg, batch=args.batch or 16, bucket=args.bucket or 512,
+            beam=args.beam or 0)
     dims = ModelDims.from_config(cfg)
 
     server = BatchingServer(backend, meta, max_wait_ms=args.max_wait_ms)
