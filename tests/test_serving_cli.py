@@ -112,6 +112,27 @@ def test_serve_cli_over_http(setup):
             proc.kill()
 
 
+def test_predict_from_artifact(setup, tmp_path):
+    """tools/predict.py --artifact: offline batch prediction straight from
+    the PSRV1 file, matching the checkpoint path's outputs (same decode
+    semantics: kv_quant int8, mxu impl, f32 here)."""
+    root, ckpt, hparams, artifact, names = setup
+    out_a = tmp_path / "from_artifact"
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools/predict.py"),
+         "--cpu", "--artifact", str(artifact), "--hparams", str(hparams),
+         "--out", str(out_a), "--info_dir", os.path.join(str(root),
+                                                         "infos")],
+        capture_output=True, text=True, timeout=600,
+        env={**os.environ, "PYTHONPATH": REPO})
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert f"predicted {len(names)} samples" in r.stdout
+    for n in names:
+        with open(out_a / f"{n}.json") as f:
+            rec = json.load(f)
+        assert set(rec) == {"prediction", "attach"}
+
+
 def test_serve_cli_rejects_conflicting_flags(setup):
     root, ckpt, hparams, artifact, names = setup
     r = subprocess.run(

@@ -99,10 +99,16 @@ def sample_from_svgs(paths, cfg, name="sample"):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--ckpt", required=True,
-                    help="orbax checkpoint dir or released .npz")
+    src = ap.add_mutually_exclusive_group(required=True)
+    src.add_argument("--ckpt",
+                     help="orbax checkpoint dir or released .npz")
+    src.add_argument("--artifact",
+                     help="PSRV1 serving artifact (tools/export_serving.py) "
+                     "— no checkpoint/model plumbing; needs --hparams; "
+                     "--batch/--beam/--decode_impl are compiled in")
     ap.add_argument("--hparams", default=None,
-                    help="hparams.yaml override (default: next to ckpt)")
+                    help="hparams.yaml override (default: next to ckpt; "
+                    "required with --artifact)")
     ap.add_argument("--info", nargs="*", action="append", default=[],
                     help="info JSON files (prepare_info contract); "
                     "repeatable, each occurrence takes one or more paths")
@@ -140,10 +146,20 @@ def main():
 
     from plankassembly_tpu.decode import greedy_decode, pick_kv_bucket
     from plankassembly_tpu.models.model import ModelDims
-    from plankassembly_tpu.serving import postprocess_prediction
-    from plankassembly_tpu.tokens import dequantize_values
 
-    params, cfg = load_params_and_config(args.ckpt, args.hparams)
+    if args.artifact:
+        if not args.hparams:
+            raise SystemExit("--artifact needs --hparams (for the input "
+                             "packer's DATA/TOKEN contract)")
+        from plankassembly_tpu.config import config_from_hparams_file
+        from plankassembly_tpu.export import load_artifact
+        prog = load_artifact(args.artifact)
+        cfg = config_from_hparams_file(args.hparams)
+        args.batch = prog.meta["batch"]  # the compiled request size
+        params = None
+    else:
+        prog = None
+        params, cfg = load_params_and_config(args.ckpt, args.hparams)
     dims = ModelDims.from_config(cfg)
 
     samples = []
@@ -168,6 +184,15 @@ def main():
     n_done = 0
     for lo in range(0, len(samples), args.batch):
         chunk = samples[lo:lo + args.batch]
+        if prog is not None:
+            out = prog({k: np.stack([s[1][k] for s in chunk])
+                        for k in chunk[0][1] if k.startswith("input")})
+            out_samples = np.asarray(out["samples"])
+            out_attach = np.asarray(out["attach"])
+            for i, (name, _) in enumerate(chunk):
+                _write_pred(args, name, out_samples[i], out_attach[i], dims)
+                n_done += 1
+            continue
         batch = {k: jnp.asarray(np.stack([s[1][k] for s in chunk]))
                  for k in chunk[0][1]}
         bucket = pick_kv_bucket(np.stack([s[1]["input_mask"]
@@ -185,23 +210,29 @@ def main():
         out_samples = np.asarray(out["samples"])
         out_attach = np.asarray(out["attach"])
         for i, (name, _) in enumerate(chunk):
-            pred, attach = postprocess_prediction(
-                out_samples[i], out_attach[i], dims)
-            with open(os.path.join(args.out, f"{name}.json"), "w") as f:
-                json.dump({"prediction": pred.tolist(), "attach": attach},
-                          f, indent=4, separators=(", ", ": "))
-            if args.mesh and len(pred) > 1:
-                from plankassembly_tpu.io.mesh import (
-                    build_mesh, export_glb, export_stl,
-                )
-                verts, faces = build_mesh(dequantize_values(pred))
-                mp = os.path.join(args.out, f"{name}.{args.mesh}")
-                if args.mesh == "stl":
-                    export_stl(mp, verts, faces)
-                else:
-                    export_glb(mp, verts, faces)
+            _write_pred(args, name, out_samples[i], out_attach[i], dims)
             n_done += 1
     print(f"predicted {n_done} samples -> {args.out}")
+
+
+def _write_pred(args, name, sample_row, attach_row, dims):
+    from plankassembly_tpu.serving import postprocess_prediction
+    from plankassembly_tpu.tokens import dequantize_values
+
+    pred, attach = postprocess_prediction(sample_row, attach_row, dims)
+    with open(os.path.join(args.out, f"{name}.json"), "w") as f:
+        json.dump({"prediction": pred.tolist(), "attach": attach},
+                  f, indent=4, separators=(", ", ": "))
+    if args.mesh and len(pred) > 1:
+        from plankassembly_tpu.io.mesh import (
+            build_mesh, export_glb, export_stl,
+        )
+        verts, faces = build_mesh(dequantize_values(pred))
+        mp = os.path.join(args.out, f"{name}.{args.mesh}")
+        if args.mesh == "stl":
+            export_stl(mp, verts, faces)
+        else:
+            export_glb(mp, verts, faces)
 
 
 if __name__ == "__main__":
