@@ -50,10 +50,17 @@ _INPUT_DTYPES = {
 def serving_meta(dims, *, batch: int, bucket: int, beam: int = 0,
                  platforms=("cpu",), compute_dtype=jnp.bfloat16,
                  early_exit: bool = True, weight_quant: bool = False,
-                 data_parallel: int = 1) -> dict:
+                 data_parallel: int = 1, with_type: bool = True) -> dict:
     """The serving contract header — ONE construction shared by artifacts
     (`export_serving`) and live checkpoint backends
-    (`serving.make_live_backend`), so the two can never drift."""
+    (`serving.make_live_backend`), so the two can never drift.
+
+    with_type=False is the sideface modality's input contract: it packs
+    no line-type stream (`data/sideface_data.py:206`, reference
+    `sideface_data.py:179-185`), and `encode` only adds the type
+    embedding when the key is present."""
+    keys = {k: v for k, v in _INPUT_DTYPES.items()
+            if with_type or k != "input_type"}
     return {
         "format": "PSRV1",
         "batch": batch,
@@ -63,10 +70,10 @@ def serving_meta(dims, *, batch: int, bucket: int, beam: int = 0,
         "early_exit": bool(early_exit and beam < 2),
         "weight_quant": bool(weight_quant),
         "data_parallel": data_parallel,
+        "with_type": bool(with_type),
         "compute_dtype": jnp.dtype(compute_dtype).name,
-        "input_keys": sorted(_INPUT_DTYPES),
-        "input_dtypes": {k: np.dtype(v).name for k, v in
-                         _INPUT_DTYPES.items()},
+        "input_keys": sorted(keys),
+        "input_dtypes": {k: np.dtype(v).name for k, v in keys.items()},
         "max_output_length": dims.max_output_length,
         "num_output_dof": dims.num_output_dof,
         "token_end": dims.end,
@@ -80,7 +87,8 @@ def serving_meta(dims, *, batch: int, bucket: int, beam: int = 0,
 def export_serving(params, cfg: Config, *, batch: int, bucket: int,
                    beam: int = 0, platforms=("cpu", "tpu"),
                    compute_dtype=jnp.bfloat16, early_exit: bool = True,
-                   weight_quant: bool = False, data_parallel: int = 1):
+                   weight_quant: bool = False, data_parallel: int = 1,
+                   with_type: bool = True):
     """Trace + serialize the serving program. Returns (blob, meta).
 
     batch/bucket fix the compiled shapes (static shapes are the TPU
@@ -143,24 +151,26 @@ def export_serving(params, cfg: Config, *, batch: int, bucket: int,
             return {"samples": out["samples"], "attach": out["attach"],
                     "num_steps": out["num_steps"]}
 
+    in_dtypes = {k: v for k, v in _INPUT_DTYPES.items()
+                 if with_type or k != "input_type"}
     if data_parallel > 1:
         from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
         mesh = Mesh(np.array(jax.devices()[:data_parallel]), ("data",))
         row = NamedSharding(mesh, P("data"))
         specs = {k: jax.ShapeDtypeStruct((batch, bucket), dt, sharding=row)
-                 for k, dt in _INPUT_DTYPES.items()}
+                 for k, dt in in_dtypes.items()}
         out_sh = {"samples": row, "attach": row,
                   "num_steps": NamedSharding(mesh, P())}
         jit_fn = jax.jit(fn, out_shardings=out_sh)
     else:
         specs = {k: jax.ShapeDtypeStruct((batch, bucket), dt)
-                 for k, dt in _INPUT_DTYPES.items()}
+                 for k, dt in in_dtypes.items()}
         jit_fn = jax.jit(fn)
     exported = jax.export.export(jit_fn, platforms=list(platforms))(specs)
     meta = serving_meta(dims, batch=batch, bucket=bucket, beam=beam,
                         platforms=platforms, compute_dtype=compute_dtype,
                         early_exit=early_exit, weight_quant=weight_quant,
-                        data_parallel=data_parallel)
+                        data_parallel=data_parallel, with_type=with_type)
     return exported.serialize(), meta
 
 

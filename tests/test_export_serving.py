@@ -167,6 +167,28 @@ def test_data_parallel_artifact(setup, tmp_path):
     np.testing.assert_array_equal(got["attach"], np.asarray(want["attach"]))
 
 
+def test_sideface_contract_no_type_stream(setup, tmp_path):
+    """with_type=False (the sideface modality): the artifact's input
+    contract omits input_type, and the program matches the live decode on
+    a type-less batch."""
+    cfg, dims, params, batch, _ = setup
+    blob, meta = export_serving(params, cfg, batch=2, bucket=BUCKET,
+                                platforms=("cpu",),
+                                compute_dtype=jnp.float32, with_type=False)
+    assert "input_type" not in meta["input_keys"]
+    path = str(tmp_path / "notype.psrv")
+    save_artifact(path, blob, meta)
+    prog = load_artifact(path)
+    nb = random_batch(cfg, with_type=False)
+    inputs = {k: v for k, v in nb.items() if k.startswith("input")}
+    got = prog(inputs)
+    want = greedy_decode(params,
+                         {k: jnp.asarray(v) for k, v in inputs.items()},
+                         dims, compute_dtype=jnp.float32, kv_bucket=BUCKET,
+                         kv_quant=True, cross_impl="mxu")
+    np.testing.assert_array_equal(got["samples"], np.asarray(want["samples"]))
+
+
 def test_unsupported_export_combos_rejected(setup):
     cfg, dims, params, batch, _ = setup
     with pytest.raises(ValueError, match="beam"):

@@ -38,6 +38,9 @@ def main():
     ap.add_argument("--data_parallel", type=int, default=1,
                     help="export an SPMD program sharding the batch over "
                     "N devices (requires N visible devices to trace/load)")
+    ap.add_argument("--no_input_type", action="store_true",
+                    help="sideface-modality input contract: no line-type "
+                    "stream (data/sideface_data.py packs with_type=False)")
     ap.add_argument("--verify", action="store_true",
                     help="round-trip the artifact vs the live decode path")
     ap.add_argument("--cpu", action="store_true",
@@ -64,7 +67,7 @@ def main():
         params, cfg, batch=args.batch, bucket=args.bucket, beam=args.beam,
         platforms=[p.strip() for p in args.platforms.split(",") if p.strip()],
         compute_dtype=dtype, weight_quant=args.weight_quant,
-        data_parallel=args.data_parallel)
+        data_parallel=args.data_parallel, with_type=not args.no_input_type)
     meta["checkpoint"] = os.path.basename(args.ckpt)
     os.makedirs(os.path.dirname(os.path.abspath(args.out)), exist_ok=True)
     save_artifact(args.out, blob, meta)
@@ -81,7 +84,8 @@ def main():
         vcfg = dataclasses.replace(
             cfg, DATA=dataclasses.replace(
                 cfg.DATA, MAX_INPUT_LENGTH=args.bucket + 1))
-        batch = random_batch(vcfg, batch_size=args.batch, seed=7)
+        batch = random_batch(vcfg, batch_size=args.batch, seed=7,
+                             with_type=not args.no_input_type)
         prog = load_artifact(args.out)
         got = prog({k: v for k, v in batch.items()
                     if k.startswith("input")})
