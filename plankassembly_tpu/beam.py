@@ -39,7 +39,9 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from plankassembly_tpu.decode import EPS, precompute_cross_kv
+from plankassembly_tpu.decode import (
+    EPS, _is_prequantized, precompute_cross_kv,
+)
 from plankassembly_tpu.models.model import (
     NEG_INF,
     ModelDims,
@@ -54,10 +56,11 @@ _NEG = -1e9     # finite -inf: one step's worst real log-prob is ~-69, so
 
 
 @partial(jax.jit, static_argnames=("dims", "num_beams", "compute_dtype",
-                                   "alpha", "kv_bucket", "early_exit"))
+                                   "alpha", "kv_bucket", "early_exit",
+                                   "weight_quant"))
 def beam_decode(params, batch, dims: ModelDims, num_beams: int = 4,
                 compute_dtype=jnp.bfloat16, alpha: float = 0.0,
-                kv_bucket=None, early_exit=True):
+                kv_bucket=None, early_exit=True, weight_quant=False):
     """Batched beam-search decode. Same output contract as `greedy_decode`
     (samples/attach of the best beam, num_steps) plus:
       beam_scores (B, K) float32 — final length-normalized scores,
@@ -72,12 +75,14 @@ def beam_decode(params, batch, dims: ModelDims, num_beams: int = 4,
                     compute_dtype=compute_dtype, flash=True)
     return beam_decode_from_memory(
         params, memory, inputs["input_mask"], dims, num_beams=num_beams,
-        compute_dtype=compute_dtype, alpha=alpha, early_exit=early_exit)
+        compute_dtype=compute_dtype, alpha=alpha, early_exit=early_exit,
+        weight_quant=weight_quant)
 
 
 def beam_decode_from_memory(params, memory, memory_mask, dims: ModelDims,
                             num_beams: int = 4, compute_dtype=jnp.bfloat16,
-                            alpha: float = 0.0, early_exit=True):
+                            alpha: float = 0.0, early_exit=True,
+                            weight_quant=False):
     cd = compute_dtype
     K = num_beams
     S = dims.max_output_length
@@ -116,10 +121,52 @@ def beam_decode_from_memory(params, memory, memory_mask, dims: ModelDims,
     n1_l = [_layer(dec["norm1"], l) for l in range(L)]
     n2_l = [_layer(dec["norm2"], l) for l in range(L)]
     n3_l = [_layer(dec["norm3"], l) for l in range(L)]
-    wqkv_l = [jnp.concatenate([p["wq"], p["wk"], p["wv"]], axis=1).astype(cd)
-              for p in sa_l]
+    # int8 weight quantization: the same (quantize | consume-prequantized
+    # | passthrough) triple as decode_from_memory, applied to the weights
+    # this loop re-reads every step (see decode.quantize_decoder_weights)
+    prequantized = _is_prequantized(dec["self_attn"]["wq"])
+    if weight_quant and not prequantized:
+        def _qw(w):
+            w32 = w.astype(jnp.float32)
+            s = jnp.maximum(jnp.abs(w32).max(axis=0) / 127.0, 1e-12)
+            return jnp.round(w32 / s).astype(jnp.int8), s
+    elif prequantized:
+        def _qw(w):
+            return w["q"], w["s"]
+    else:
+        def _qw(w):
+            return w, None
+
+    def _mm(x, wq, s):
+        y = x @ wq.astype(x.dtype)
+        return y if s is None else y * s.astype(x.dtype)
+
+    if prequantized:
+        wqkv_q = [(jnp.concatenate([p["wq"]["q"], p["wk"]["q"],
+                                    p["wv"]["q"]], axis=1),
+                   jnp.concatenate([p["wq"]["s"], p["wk"]["s"],
+                                    p["wv"]["s"]]))
+                  for p in sa_l]
+    elif weight_quant:
+        wqkv_q = [_qw(jnp.concatenate([p["wq"], p["wk"], p["wv"]], axis=1))
+                  for p in sa_l]
+    else:
+        wqkv_q = [(jnp.concatenate(
+            [p["wq"], p["wk"], p["wv"]], axis=1).astype(cd), None)
+            for p in sa_l]
     bqkv_l = [jnp.concatenate([p["bq"], p["bk"], p["bv"]]).astype(cd)
               for p in sa_l]
+    wo_q = [_qw(sa_l[l]["wo"]) for l in range(L)]
+    cq_q = [_qw(ca_l[l]["wq"]) for l in range(L)]
+    co_q = [_qw(ca_l[l]["wo"]) for l in range(L)]
+    w1_q = [_qw(ffn_l[l]["w1"]) for l in range(L)]
+    w2_q = [_qw(ffn_l[l]["w2"]) for l in range(L)]
+    if weight_quant or prequantized:
+        vq, vs = _qw(heads["vocab"]["w"])
+        pq, ps = _qw(heads["pointer"]["w"])
+        heads = {"vocab": {"w": vq, "s": vs, "b": heads["vocab"]["b"]},
+                 "pointer": {"w": pq, "s": ps, "b": heads["pointer"]["b"]},
+                 "switch": heads["switch"]}
 
     struct = jnp.asarray(pointer_structure_mask(dims))  # (S, S) {0,1}
     scale = 1.0 / math.sqrt(Dh)
@@ -161,7 +208,7 @@ def beam_decode_from_memory(params, memory, memory_mask, dims: ModelDims,
         for l in range(L):
             # self-attention with per-beam cache append
             h = layer_norm(n1_l[l], x)
-            qkv = (h.astype(cd) @ wqkv_l[l] + bqkv_l[l])[:, 0]
+            qkv = (_mm(h.astype(cd), *wqkv_q[l]) + bqkv_l[l])[:, 0]
             q = qkv[:, :D].reshape(BK, 1, H, Dh)
             k_t = qkv[:, D:D + Dkv].reshape(BK, 1, kvH, Dh)
             v_t = qkv[:, D + Dkv:].reshape(BK, 1, kvH, Dh)
@@ -178,13 +225,13 @@ def beam_decode_from_memory(params, memory, memory_mask, dims: ModelDims,
                            preferred_element_type=jnp.float32)
             a = a.reshape(BK, 1, D)
             sa = sa_l[l]
-            a = a.astype(cd) @ sa["wo"].astype(cd) + sa["bo"].astype(cd)
+            a = _mm(a.astype(cd), *wo_q[l]) + sa["bo"].astype(cd)
             x = x + a.astype(x.dtype)
 
             # cross-attention: per-beam queries vs per-PROGRAM K/V
             h = layer_norm(n2_l[l], x)
             ca = ca_l[l]
-            q2 = (h.astype(cd) @ ca["wq"].astype(cd)
+            q2 = (_mm(h.astype(cd), *cq_q[l])
                   + ca["bq"].astype(cd))[:, 0]          # (BK, D)
             qk = q2.reshape(B, K, H, Dh)
             ck = _expand(cross_k[l], Li, B)             # (B, Li, H, Dh)
@@ -195,15 +242,15 @@ def beam_decode_from_memory(params, memory, memory_mask, dims: ModelDims,
             c = jnp.einsum("bkhl,blhd->bkhd", w.astype(cd), cv,
                            preferred_element_type=jnp.float32)
             c = c.reshape(BK, 1, D)
-            c = c.astype(cd) @ ca["wo"].astype(cd) + ca["bo"].astype(cd)
+            c = _mm(c.astype(cd), *co_q[l]) + ca["bo"].astype(cd)
             x = x + c.astype(x.dtype)
 
             # feed-forward
             h = layer_norm(n3_l[l], x)
             f = ffn_l[l]
-            z = jax.nn.relu(h.astype(cd) @ f["w1"].astype(cd)
+            z = jax.nn.relu(_mm(h.astype(cd), *w1_q[l])
                             + f["b1"].astype(cd))
-            z = z @ f["w2"].astype(cd) + f["b2"].astype(cd)
+            z = _mm(z, *w2_q[l]) + f["b2"].astype(cd)
             x = x + z.astype(x.dtype)
 
         h_t = layer_norm(dec["final_norm"], x)[:, 0].astype(jnp.float32)
@@ -211,9 +258,15 @@ def beam_decode_from_memory(params, memory, memory_mask, dims: ModelDims,
             h_cache, h_t[:, None], (0, t, 0))
 
         # --- per-candidate log-probs (the _mixed_sample distribution) ---
-        vocab_logits = h_t @ heads["vocab"]["w"] + heads["vocab"]["b"]
+        def _head_mm(head):
+            y = h_t @ head["w"].astype(h_t.dtype)
+            if head.get("s") is not None:
+                y = y * head["s"]
+            return y + head["b"]
+
+        vocab_logits = _head_mm(heads["vocab"])
         vocab_probs = jax.nn.softmax(vocab_logits, axis=-1)
-        feature = h_t @ heads["pointer"]["w"] + heads["pointer"]["b"]
+        feature = _head_mm(heads["pointer"])
         pointer_logits = jnp.einsum("bd,bsd->bs", feature, h_cache) / D
         prob = jax.nn.sigmoid(h_t @ heads["switch"]["w"]
                               + heads["switch"]["b"])

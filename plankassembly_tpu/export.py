@@ -118,11 +118,14 @@ def export_serving(params, cfg: Config, *, batch: int, bucket: int,
         raise ValueError(
             f"bucket {bucket} exceeds the model's trained input width "
             f"{cfg.DATA.MAX_INPUT_LENGTH - 1}")
-    if beam >= 2 and weight_quant:
-        raise ValueError("weight_quant is not implemented for the beam "
-                         "decoder; export greedy (beam=0) or drop "
-                         "weight_quant")
     params = jax.tree.map(jnp.asarray, params)
+    if weight_quant:
+        # quantize OUT OF TRACE so the int8 tensors (not the f32
+        # originals) are what serializes into the StableHLO constants —
+        # this is where the ~2x artifact-size cut comes from. Both decode
+        # loops consume the pre-quantized form directly.
+        from plankassembly_tpu.decode import quantize_decoder_weights
+        params = quantize_decoder_weights(params)
 
     if beam >= 2:
         from plankassembly_tpu.beam import beam_decode
@@ -133,15 +136,7 @@ def export_serving(params, cfg: Config, *, batch: int, bucket: int,
             return {"samples": out["samples"], "attach": out["attach"],
                     "num_steps": out["num_steps"]}
     else:
-        from plankassembly_tpu.decode import (
-            greedy_decode, quantize_decoder_weights,
-        )
-
-        if weight_quant:
-            # quantize OUT OF TRACE so the int8 tensors (not the f32
-            # originals) are what serializes into the StableHLO constants
-            # — this is where the ~2x artifact-size cut comes from
-            params = quantize_decoder_weights(params)
+        from plankassembly_tpu.decode import greedy_decode
 
         def fn(inputs):
             out = greedy_decode(params, inputs, dims,

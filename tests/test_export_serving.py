@@ -191,12 +191,32 @@ def test_sideface_contract_no_type_stream(setup, tmp_path):
 
 def test_unsupported_export_combos_rejected(setup):
     cfg, dims, params, batch, _ = setup
-    with pytest.raises(ValueError, match="beam"):
-        export_serving(params, cfg, batch=2, bucket=BUCKET, beam=2,
-                       platforms=("cpu",), weight_quant=True)
     with pytest.raises(ValueError, match="visible devices"):
         export_serving(params, cfg, batch=32, bucket=BUCKET,
                        platforms=("cpu",), data_parallel=16)
+
+
+def test_int8_beam_artifact(setup, tmp_path):
+    """weight_quant composes with the beam decoder: the artifact matches
+    the live pre-quantized beam decode bit-exactly."""
+    from plankassembly_tpu.beam import beam_decode
+    from plankassembly_tpu.decode import quantize_decoder_weights
+
+    cfg, dims, params, batch, _ = setup
+    blob, meta = export_serving(params, cfg, batch=2, bucket=BUCKET,
+                                beam=2, platforms=("cpu",),
+                                compute_dtype=jnp.float32,
+                                weight_quant=True)
+    assert meta["weight_quant"] is True and meta["beam"] == 2
+    path = str(tmp_path / "beam_wq8.psrv")
+    save_artifact(path, blob, meta)
+    prog = load_artifact(path)
+    inputs = {k: v for k, v in batch.items() if k.startswith("input")}
+    got = prog(inputs)
+    want = beam_decode(quantize_decoder_weights(params),
+                       {k: jnp.asarray(v) for k, v in inputs.items()},
+                       dims, num_beams=2, compute_dtype=jnp.float32)
+    np.testing.assert_array_equal(got["samples"], np.asarray(want["samples"]))
 
 
 def test_bad_magic_rejected(tmp_path):

@@ -90,6 +90,21 @@ def test_natural_weights_close_not_required_but_sane(setup):
     assert (s >= 0).all() and (s < dims.vocab_size).all()
 
 
+def test_beam_grid_weights_bit_exact(setup):
+    """The beam decoder has the same weight-quant wiring (it re-reads the
+    same weights every step for K·B rows); grid weights make it exact."""
+    from plankassembly_tpu.beam import beam_decode
+    cfg, dims, params, batch = setup
+    plain = beam_decode(params, batch, dims, num_beams=2,
+                        compute_dtype=jnp.float32)
+    quant = beam_decode(params, batch, dims, num_beams=2,
+                        compute_dtype=jnp.float32, weight_quant=True)
+    np.testing.assert_array_equal(np.asarray(plain["samples"]),
+                                  np.asarray(quant["samples"]))
+    np.testing.assert_array_equal(np.asarray(plain["beam_scores"]),
+                                  np.asarray(quant["beam_scores"]))
+
+
 def test_prequantized_matches_in_trace_quant(setup):
     """quantize_decoder_weights (the export path's out-of-trace quantize)
     reproduces the in-trace weight_quant=True decode bit-exactly on grid

@@ -89,6 +89,14 @@ def main():
         prog = load_artifact(args.out)
         got = prog({k: v for k, v in batch.items()
                     if k.startswith("input")})
+        if args.weight_quant:
+            # compare against the same out-of-trace quantization the
+            # artifact baked in (in-trace weight_quant=True quantizes
+            # inside the jitted program, where XLA's algebraic
+            # rearrangement of the quantize ops can flip a handful of
+            # int8 levels — a different, equally valid quantization)
+            from plankassembly_tpu.decode import quantize_decoder_weights
+            params = quantize_decoder_weights(params)
         if args.beam >= 2:
             from plankassembly_tpu.beam import beam_decode
             want = beam_decode(params,
@@ -97,16 +105,7 @@ def main():
                                dims, num_beams=args.beam,
                                compute_dtype=dtype)
         else:
-            from plankassembly_tpu.decode import (
-                greedy_decode, quantize_decoder_weights,
-            )
-            if args.weight_quant:
-                # compare against the same out-of-trace quantization the
-                # artifact baked in (in-trace weight_quant=True quantizes
-                # inside the jitted program, where XLA's algebraic
-                # rearrangement of the quantize ops can flip a handful of
-                # int8 levels — a different, equally valid quantization)
-                params = quantize_decoder_weights(params)
+            from plankassembly_tpu.decode import greedy_decode
             want = greedy_decode(params,
                                  {k: jnp.asarray(v) for k, v in batch.items()
                                   if k.startswith("input")},
