@@ -36,12 +36,33 @@ from plankassembly_tpu.export import pad_request, serving_meta
 # request packing / response shaping (shared with tools/predict.py)
 # ---------------------------------------------------------------------------
 
-def pack_info_dict(info: dict, cfg) -> dict:
+def pack_info_dict(info: dict, cfg, with_type: bool = True) -> dict:
     """Pack one prepare_info-contract dict (`lines`/`views`/`types`, or raw
-    `svgs` GeoJSON) into the model's input streams (no GT keys needed)."""
+    `svgs` GeoJSON) into the model's input streams (no GT keys needed).
+
+    with_type=False is the sideface modality: the request's view SVGs run
+    through the side-face extractor (polygonize -> thin-face detect ->
+    colinear merge, `data/sideface_data.py`) and pack with no line-type
+    stream — the same derivation the sideface dataset applies, so a
+    sideface model serves from the ordinary info-JSON contract."""
     from plankassembly_tpu.data import geometry as geo
     from plankassembly_tpu.data.packing import pack_input_sequence
 
+    if not with_type:
+        from plankassembly_tpu.data.sideface_data import extract_sidefaces
+        if "svgs" not in info:
+            raise ValueError("sideface requests need 'svgs' (GeoJSON view "
+                             "linestrings) — side faces are derived, not "
+                             "given as lines")
+        linestrings = [geo.from_geojson(s) for s in info["svgs"]]
+        data = cfg.DATA
+        faces, faceviews = extract_sidefaces(
+            linestrings, np.asarray(info["views"]),
+            data.MAX_THICKNESS / data.SCALE,
+            data.MERGE_TOLERANCE / data.SCALE,
+            data.MIN_THICKNESS / data.SCALE)
+        return pack_input_sequence(faces, faceviews, None,
+                                   cfg.DATA, cfg.TOKEN, with_type=False)
     if "lines" in info:
         lines = np.array(info["lines"], dtype=np.float64)
     else:
@@ -72,7 +93,8 @@ def postprocess_prediction(sample_row, attach_row, dims):
 # ---------------------------------------------------------------------------
 
 def make_live_backend(params, cfg, *, batch: int, bucket: int, beam: int = 0,
-                      compute_dtype=None, cross_impl: str = "auto"):
+                      compute_dtype=None, cross_impl: str = "auto",
+                      with_type: bool = True):
     """A jitted checkpoint-backed backend with the artifact's contract.
 
     Returns (backend callable, meta dict) — the same shape `load_artifact`
@@ -106,7 +128,7 @@ def make_live_backend(params, cfg, *, batch: int, bucket: int, beam: int = 0,
     jitted = jax.jit(fn)
     meta = serving_meta(dims, batch=batch, bucket=bucket, beam=beam,
                         platforms=(jax.default_backend(),),
-                        compute_dtype=compute_dtype)
+                        compute_dtype=compute_dtype, with_type=with_type)
 
     def backend(request: dict) -> dict:
         padded, rows = pad_request(request, meta)
@@ -235,7 +257,9 @@ def make_http_server(server: BatchingServer, cfg, dims, port: int = 0):
     from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
     def reconstruct(info: dict) -> dict:
-        sample = pack_info_dict(info, cfg)
+        sample = pack_info_dict(info, cfg,
+                                with_type=server.meta.get("with_type",
+                                                          True))
         t0 = time.perf_counter()
         row = server.submit({k: v for k, v in sample.items()
                              if k.startswith("input")})

@@ -166,6 +166,33 @@ def test_invalid_request_does_not_poison_batchmates(served):
     assert results[1][0] == 200, results[1]
 
 
+def test_sideface_request_packing_matches_dataset(tmp_path):
+    """pack_info_dict(with_type=False) must run the SAME side-face
+    derivation the SidefaceDataset applies — a sideface model then serves
+    from ordinary info JSONs with no special request format."""
+    import dataclasses
+    import os
+
+    from plankassembly_tpu.data.sideface_data import SidefaceDataset
+    from tests.tiny import tiny_config, write_tiny_dataset
+
+    root = str(tmp_path)
+    names = write_tiny_dataset(root)
+    cfg = tiny_config()
+    cfg = dataclasses.replace(
+        cfg, DATA=dataclasses.replace(cfg.DATA, MAX_INPUT_LENGTH=320,
+                                      MAX_OUTPUT_LENGTH=48))
+    ds = SidefaceDataset(os.path.join(root, "infos"),
+                         [f"{n}.json" for n in names], cfg)
+    want = ds[0]
+    with open(os.path.join(root, "infos", f"{names[0]}.json")) as f:
+        info = json.load(f)
+    got = pack_info_dict(info, cfg, with_type=False)
+    assert "input_type" not in got
+    for k, v in got.items():
+        np.testing.assert_array_equal(v, want[k], err_msg=k)
+
+
 def test_submit_after_close_rejected():
     cfg = tiny_config()
     dims = ModelDims.from_config(cfg)

@@ -40,6 +40,10 @@ def main():
     ap.add_argument("--beam", type=int, default=None,
                     help="live backend only (default 0 = greedy)")
     ap.add_argument("--max_wait_ms", type=float, default=10.0)
+    ap.add_argument("--no_input_type", action="store_true",
+                    help="live backend only: sideface input contract "
+                    "(requests' SVGs run the side-face extractor; an "
+                    "--artifact records this in its header)")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
@@ -73,7 +77,7 @@ def main():
         params, cfg = load_params_and_config(args.ckpt, args.hparams)
         backend, meta = make_live_backend(
             params, cfg, batch=args.batch or 16, bucket=args.bucket or 512,
-            beam=args.beam or 0)
+            beam=args.beam or 0, with_type=not args.no_input_type)
     dims = ModelDims.from_config(cfg)
 
     server = BatchingServer(backend, meta, max_wait_ms=args.max_wait_ms)
