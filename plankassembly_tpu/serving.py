@@ -248,6 +248,65 @@ class BatchingServer:
                 done.set()
 
 
+class BucketRouter:
+    """Route each request to the smallest serving bucket that fits it.
+
+    The eval loop picks a per-batch KV bucket (`decode.pick_kv_bucket`) —
+    the serving-time analogue is a small ladder of compiled programs
+    (e.g. buckets 512 / 768 / 1152) with requests routed by their real
+    token count. This closes the measured long-input gap: 33% of the
+    synthetic test split exceeds 512 input tokens (max 1121), so a
+    single bucket-512 program must reject a third of real traffic, while
+    a ladder serves everything at near-minimal cross-attention cost.
+
+    Exposes the same submit()/meta/close() surface as BatchingServer, so
+    the HTTP front-end treats them identically.
+    """
+
+    def __init__(self, servers: list[BatchingServer]):
+        if not servers:
+            raise ValueError("BucketRouter needs at least one server")
+        self.servers = sorted(servers, key=lambda s: s.meta["bucket"])
+        buckets = [s.meta["bucket"] for s in self.servers]
+        if len(set(buckets)) != len(buckets):
+            raise ValueError(f"duplicate buckets in the ladder: {buckets}")
+        for key in ("token_pad", "token_end", "input_keys", "with_type",
+                    "max_output_length", "num_output_dof"):
+            vals = {json.dumps(s.meta.get(key), sort_keys=True)
+                    for s in self.servers}
+            if len(vals) != 1:
+                raise ValueError(
+                    f"bucket ladder mixes incompatible programs: {key} "
+                    f"differs across artifacts")
+        self.meta = dict(self.servers[-1].meta)  # widest contract
+        self.meta["buckets"] = buckets
+
+    @property
+    def batches_run(self):
+        return sum(s.batches_run for s in self.servers)
+
+    @property
+    def rows_served(self):
+        return sum(s.rows_served for s in self.servers)
+
+    def submit(self, sample: dict, timeout: float = 300.0) -> dict:
+        mask = np.asarray(sample["input_mask"], bool)
+        n_real = int((~mask).sum())  # real tokens form a prefix (packing)
+        for server in self.servers:
+            if n_real <= server.meta["bucket"]:
+                out = server.submit(sample, timeout=timeout)
+                out["bucket"] = server.meta["bucket"]
+                return out
+        raise ValueError(
+            f"request has {n_real} real tokens; largest bucket in the "
+            f"ladder is {self.servers[-1].meta['bucket']} — re-export "
+            f"with a larger bucket")
+
+    def close(self):
+        for s in self.servers:
+            s.close()
+
+
 # ---------------------------------------------------------------------------
 # HTTP front-end (stdlib only)
 # ---------------------------------------------------------------------------
@@ -265,7 +324,7 @@ def make_http_server(server: BatchingServer, cfg, dims, port: int = 0):
                              if k.startswith("input")})
         pred, attach = postprocess_prediction(
             row["samples"], row["attach"], dims)
-        return {
+        resp = {
             "name": info.get("name", "sample"),
             "prediction": pred.tolist(),
             "attach": attach,
@@ -273,6 +332,9 @@ def make_http_server(server: BatchingServer, cfg, dims, port: int = 0):
             "batched_rows": row["batched_rows"],
             "latency_ms": round((time.perf_counter() - t0) * 1e3, 1),
         }
+        if "bucket" in row:  # BucketRouter reports where it landed
+            resp["bucket"] = row["bucket"]
+        return resp
 
     class Handler(BaseHTTPRequestHandler):
         def _send(self, code: int, obj: dict):

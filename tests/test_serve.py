@@ -193,6 +193,65 @@ def test_sideface_request_packing_matches_dataset(tmp_path):
         np.testing.assert_array_equal(v, want[k], err_msg=k)
 
 
+def test_bucket_router_routes_by_real_tokens(tmp_path):
+    """A bucket ladder (31, 63) from ONE model: short requests land in
+    the small program, long ones in the big program, both bit-exact vs
+    direct decode; requests beyond the ladder fail with a clear error."""
+    import dataclasses
+
+    from plankassembly_tpu.export import (
+        ServingProgram, export_serving, load_artifact, save_artifact,
+    )
+    from plankassembly_tpu.serving import BucketRouter
+
+    cfg = tiny_config()
+    cfg = dataclasses.replace(
+        cfg, DATA=dataclasses.replace(cfg.DATA, MAX_INPUT_LENGTH=64))
+    dims = ModelDims.from_config(cfg)
+    params = init_params(jax.random.PRNGKey(0), dims)
+    servers = []
+    for bucket in (31, 63):
+        blob, meta = export_serving(params, cfg, batch=2, bucket=bucket,
+                                    platforms=("cpu",),
+                                    compute_dtype=jnp.float32)
+        p = str(tmp_path / f"b{bucket}.psrv")
+        save_artifact(p, blob, meta)
+        servers.append(BatchingServer(load_artifact(p),
+                                      load_artifact(p).meta,
+                                      max_wait_ms=1.0))
+    router = BucketRouter(servers)
+    assert router.meta["buckets"] == [31, 63]
+
+    short = pack_info_dict(_tiny_info(2), cfg)        # 29 real tokens
+    out_s = router.submit({k: v for k, v in short.items()
+                           if k.startswith("input")})
+    assert out_s["bucket"] == 31
+    long = pack_info_dict(_tiny_info(3, n=14), cfg)   # 57 real tokens
+    out_l = router.submit({k: v for k, v in long.items()
+                           if k.startswith("input")})
+    assert out_l["bucket"] == 63
+
+    # routed results equal direct decode at the routed bucket
+    want = greedy_decode(params,
+                         {k: jnp.asarray(v[None]) for k, v in long.items()
+                          if k.startswith("input")},
+                         dims, compute_dtype=jnp.float32, kv_bucket=63,
+                         kv_quant=True, cross_impl="mxu")
+    np.testing.assert_array_equal(out_l["samples"],
+                                  np.asarray(want["samples"])[0])
+
+    over = {k: v for k, v in pack_info_dict(_tiny_info(4, n=15),
+                                            cfg).items()
+            if k.startswith("input")}                 # 61 real tokens... fits
+    with pytest.raises(ValueError, match="largest bucket"):
+        wide_cfg = dataclasses.replace(
+            cfg, DATA=dataclasses.replace(cfg.DATA, MAX_INPUT_LENGTH=128))
+        too_long = pack_info_dict(_tiny_info(5, n=17), wide_cfg)  # 69 real
+        router.submit({k: v for k, v in too_long.items()
+                       if k.startswith("input")})
+    router.close()
+
+
 def test_submit_after_close_rejected():
     cfg = tiny_config()
     dims = ModelDims.from_config(cfg)

@@ -26,7 +26,10 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 def main():
     ap = argparse.ArgumentParser()
     src = ap.add_mutually_exclusive_group(required=True)
-    src.add_argument("--artifact", help="PSRV1 file from tools/export_serving.py")
+    src.add_argument("--artifact", action="append",
+                     help="PSRV1 file from tools/export_serving.py; "
+                     "repeat to serve a BUCKET LADDER (requests route to "
+                     "the smallest bucket that fits their real tokens)")
     src.add_argument("--ckpt", help="orbax checkpoint dir or released .npz")
     ap.add_argument("--hparams", default=None,
                     help="hparams.yaml (required with --artifact for "
@@ -57,7 +60,7 @@ def main():
     from plankassembly_tpu.config import config_from_hparams_file
     from plankassembly_tpu.models.model import ModelDims
     from plankassembly_tpu.serving import (
-        BatchingServer, make_http_server, make_live_backend,
+        BatchingServer, BucketRouter, make_http_server, make_live_backend,
     )
 
     if args.artifact:
@@ -66,24 +69,29 @@ def main():
                              "--artifact (see its header via /meta); they "
                              "only apply to --ckpt live backends")
         from plankassembly_tpu.export import load_artifact
-        backend = load_artifact(args.artifact)
-        meta = backend.meta
+        backends = [load_artifact(a) for a in args.artifact]
         if not args.hparams:
             raise SystemExit("--artifact needs --hparams (for the request "
                              "packer's DATA/TOKEN contract)")
         cfg = config_from_hparams_file(args.hparams)
+        servers = [BatchingServer(b, b.meta, max_wait_ms=args.max_wait_ms)
+                   for b in backends]
+        server = (servers[0] if len(servers) == 1
+                  else BucketRouter(servers))
     else:
         from tools.predict import load_params_and_config
         params, cfg = load_params_and_config(args.ckpt, args.hparams)
         backend, meta = make_live_backend(
             params, cfg, batch=args.batch or 16, bucket=args.bucket or 512,
             beam=args.beam or 0, with_type=not args.no_input_type)
+        server = BatchingServer(backend, meta, max_wait_ms=args.max_wait_ms)
     dims = ModelDims.from_config(cfg)
 
-    server = BatchingServer(backend, meta, max_wait_ms=args.max_wait_ms)
+    meta = server.meta
     httpd = make_http_server(server, cfg, dims, port=args.port)
     print(f"serving on http://127.0.0.1:{httpd.server_address[1]} "
-          f"(batch={meta['batch']} bucket={meta['bucket']} "
+          f"(batch={meta['batch']} "
+          f"bucket={meta.get('buckets', meta['bucket'])} "
           f"beam={meta['beam']} backend="
           f"{'artifact' if args.artifact else 'live'})", flush=True)
     try:
