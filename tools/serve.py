@@ -47,6 +47,9 @@ def main():
                     help="live backend only: sideface input contract "
                     "(requests' SVGs run the side-face extractor; an "
                     "--artifact records this in its header)")
+    ap.add_argument("--weight_quant", action="store_true",
+                    help="live backend only: int8-quantize the decode "
+                    "weights out-of-trace (the artifact-canonical form)")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
@@ -64,8 +67,10 @@ def main():
     )
 
     if args.artifact:
-        if (args.batch, args.bucket, args.beam) != (None, None, None):
-            raise SystemExit("--batch/--bucket/--beam are compiled into an "
+        if ((args.batch, args.bucket, args.beam) != (None, None, None)
+                or args.weight_quant or args.no_input_type):
+            raise SystemExit("--batch/--bucket/--beam/--weight_quant/"
+                             "--no_input_type are compiled into an "
                              "--artifact (see its header via /meta); they "
                              "only apply to --ckpt live backends")
         from plankassembly_tpu.export import load_artifact
@@ -81,6 +86,9 @@ def main():
     else:
         from tools.predict import load_params_and_config
         params, cfg = load_params_and_config(args.ckpt, args.hparams)
+        if args.weight_quant:
+            from plankassembly_tpu.decode import quantize_decoder_weights
+            params = quantize_decoder_weights(params)
         backend, meta = make_live_backend(
             params, cfg, batch=args.batch or 16, bucket=args.bucket or 512,
             beam=args.beam or 0, with_type=not args.no_input_type)
