@@ -58,6 +58,11 @@ def main():
                     help="force the CPU backend (smoke runs)")
     ap.add_argument("--alpha", type=float, default=0.0,
                     help="length-normalization exponent for beam<K> impls")
+    ap.add_argument("--modality", default="line",
+                    choices=("line", "sideface"),
+                    help="dataset family: 'line' (complete/visible info "
+                    "roots) or 'sideface' (side-face extraction, no-type "
+                    "packing — use with the sideface checkpoint)")
     ap.add_argument("--reverse", action="store_true",
                     help="serve longest programs first (with --limit: "
                     "benchmark the hard tail of the split)")
@@ -85,7 +90,11 @@ def main():
 
     with open(args.split) as f:
         names = [l.strip() for l in f if l.strip()]
-    ds = LineDataset(args.root, names, cfg, augmentation=False)
+    if args.modality == "sideface":
+        from plankassembly_tpu.data.sideface_data import SidefaceDataset
+        ds = SidefaceDataset(args.root, names, cfg, augmentation=False)
+    else:
+        ds = LineDataset(args.root, names, cfg, augmentation=False)
 
     # length-sorted order (the eval loop's batching policy): batches of
     # similar length early-exit together instead of being gated by one
