@@ -133,6 +133,24 @@ def test_predict_from_artifact(setup, tmp_path):
         assert set(rec) == {"prediction", "attach"}
 
 
+def test_export_cli_bucket_ladder(setup, tmp_path):
+    """--bucket 159,319 writes one artifact per rung with .k<b> names."""
+    root, ckpt, hparams, artifact, names = setup
+    out = tmp_path / "ladder.psrv"
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools/export_serving.py"),
+         "--cpu", "--ckpt", str(ckpt), "--out", str(out),
+         "--batch", "2", "--bucket", "159,319", "--dtype", "float32",
+         "--platforms", "cpu"],
+        capture_output=True, text=True, timeout=600,
+        env={**os.environ, "PYTHONPATH": REPO})
+    assert r.returncode == 0, r.stderr[-3000:]
+    from plankassembly_tpu.export import load_artifact
+    for b in (159, 319):
+        prog = load_artifact(str(tmp_path / f"ladder.k{b}.psrv"))
+        assert prog.meta["bucket"] == b
+
+
 def test_serve_cli_rejects_conflicting_flags(setup):
     root, ckpt, hparams, artifact, names = setup
     r = subprocess.run(

@@ -25,8 +25,11 @@ def main():
     ap.add_argument("--hparams", default=None)
     ap.add_argument("--out", required=True)
     ap.add_argument("--batch", type=int, default=16)
-    ap.add_argument("--bucket", type=int, default=512,
-                    help="compiled input width (multiple of 128)")
+    ap.add_argument("--bucket", default="512",
+                    help="compiled input width (multiple of 128); a comma "
+                    "list (e.g. 512,768,1152) exports a BUCKET LADDER — "
+                    "one artifact per width, '.k<bucket>' inserted before "
+                    "the --out extension — for tools/serve.py routing")
     ap.add_argument("--beam", type=int, default=0,
                     help=">=2 exports the beam-search decoder")
     ap.add_argument("--platforms", default="cpu,tpu")
@@ -63,17 +66,26 @@ def main():
 
     params, cfg = load_params_and_config(args.ckpt, args.hparams)
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
-    blob, meta = export_serving(
-        params, cfg, batch=args.batch, bucket=args.bucket, beam=args.beam,
-        platforms=[p.strip() for p in args.platforms.split(",") if p.strip()],
-        compute_dtype=dtype, weight_quant=args.weight_quant,
-        data_parallel=args.data_parallel, with_type=not args.no_input_type)
-    meta["checkpoint"] = os.path.basename(args.ckpt)
-    os.makedirs(os.path.dirname(os.path.abspath(args.out)), exist_ok=True)
-    save_artifact(args.out, blob, meta)
-    print(f"wrote {args.out}: {os.path.getsize(args.out) / 1e6:.1f} MB, "
-          f"batch={meta['batch']} bucket={meta['bucket']} "
-          f"beam={meta['beam']} platforms={meta['platforms']}")
+    buckets = [int(b) for b in str(args.bucket).split(",") if b.strip()]
+    outs = ([args.out] if len(buckets) == 1 else
+            [f"{os.path.splitext(args.out)[0]}.k{b}"
+             f"{os.path.splitext(args.out)[1]}" for b in buckets])
+    for bucket, out in zip(buckets, outs):
+        blob, meta = export_serving(
+            params, cfg, batch=args.batch, bucket=bucket, beam=args.beam,
+            platforms=[p.strip() for p in args.platforms.split(",")
+                       if p.strip()],
+            compute_dtype=dtype, weight_quant=args.weight_quant,
+            data_parallel=args.data_parallel,
+            with_type=not args.no_input_type)
+        meta["checkpoint"] = os.path.basename(args.ckpt)
+        os.makedirs(os.path.dirname(os.path.abspath(out)), exist_ok=True)
+        save_artifact(out, blob, meta)
+        print(f"wrote {out}: {os.path.getsize(out) / 1e6:.1f} MB, "
+              f"batch={meta['batch']} bucket={meta['bucket']} "
+              f"beam={meta['beam']} platforms={meta['platforms']}")
+    args.bucket = buckets[-1]
+    args.out = outs[-1]  # --verify checks the widest rung
 
     if args.verify:
         from plankassembly_tpu.models.model import ModelDims
