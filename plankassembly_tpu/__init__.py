@@ -2,10 +2,13 @@
 from three orthographic views with learnt shape programs.
 
 A ground-up rebuild of manycore-research/PlankAssembly (ICCV 2023) designed
-for TPU hardware: static-shape token pipelines, flax transformer with a
-pointer network, KV-cached autoregressive decoding under `jax.lax.while_loop`,
+for TPU hardware: static-shape token pipelines, a pure-JAX transformer with
+a pointer network, KV-cached autoregressive decoding under
+`jax.lax.while_loop` (greedy + beam; int8 KV and weight quantization),
 Pallas fused-attention kernels, on-device batched Hungarian-style matching,
-and pjit data/tensor parallelism over a `jax.sharding.Mesh`.
+pjit data/tensor parallelism over a `jax.sharding.Mesh`, and a deployment
+layer (`export`/`serving`): AOT StableHLO artifacts + dynamic-batching
+HTTP serving.
 
 Reference behavioral contract: /root/reference (PlankAssembly @ 2024-12-20).
 """
