@@ -46,7 +46,7 @@ def main():
                     "bucket (length-sorted batches keep that to a handful). "
                     "A fixed N bounds compiles to one variant per impl but "
                     "CROPS encoder memory for samples longer than N input "
-                    "tokens — on the synthetic 26k test split 33% exceed "
+                    "tokens — on the synthetic 26k test split 33%% exceed "
                     "512 (max 1121), which costs ~0.04 F1")
     ap.add_argument("--split", default=None,
                     help="split file (default: the ckpt's DATASETS_TEST)")
@@ -168,7 +168,13 @@ def main():
             if bucket not in seen_buckets:  # new variant pays a compile
                 seen_buckets.add(bucket)
                 t0 = time.perf_counter()
-                fn(params, inputs, bucket)["samples"].block_until_ready()
+                # sync via host transfer, NOT block_until_ready: on the
+                # axon remote-TPU backend block_until_ready returns before
+                # the server-side compile+execution finishes, which would
+                # push the entire first compile wait into the first TIMED
+                # batch (measured: 56-61 s landing in batch 0, CLAUDE.md
+                # async-dispatch gotcha).
+                np.asarray(fn(params, inputs, bucket)["samples"])
                 compile_t += time.perf_counter() - t0
             t0 = time.perf_counter()
             out = fn(params, inputs, bucket)
