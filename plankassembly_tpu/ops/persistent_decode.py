@@ -55,6 +55,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 
 import jax
 import jax.numpy as jnp
@@ -524,11 +525,14 @@ def persistent_greedy_decode(params, memory, memory_mask, dims, *,
     RB = block_rows
     if B % RB:
         raise ValueError(f"persistent decode needs B % {RB} == 0, got {B}")
-    if B > 512:
+    if B > 512 and not os.environ.get("PLANK_PERSISTENT_UNSAFE_LARGE_B"):
         # B=1024 reproducibly hung >15 min before its first run completed
         # and killing it wedged the device ~25 min (results/RUNS_r3.md);
         # refuse rather than let any input wedge the chip. decode.py's
         # dispatch falls back to the mxu path above this bound.
+        # PLANK_PERSISTENT_UNSAFE_LARGE_B=1 lifts the guard for
+        # tools/probe_b1024.py's staged compile/execute bisection ONLY —
+        # never set it in serving paths.
         raise ValueError(
             f"persistent decode supports B <= 512 (got {B}): B=1024 hangs "
             "the Mosaic kernel pre-first-run; use cross_impl='mxu'")

@@ -28,6 +28,17 @@ if NUM_PROCS > 1:
     jax.config.update("jax_cpu_collectives_implementation", "gloo")
     jax.distributed.initialize(coordinator_address=f"localhost:{PORT}",
                                num_processes=NUM_PROCS, process_id=PROC_ID)
+    # Establish the Gloo context NOW, while the workers are within
+    # milliseconds of each other (both just finished `import jax`; the
+    # parent Popen'ed them in one loop). Gloo's full-mesh rendezvous has a
+    # fixed ~30 s window; without this, the first collective fires only
+    # after each worker's train-step compile — and a persistent-cache hit
+    # on one side but not the other (or a busy sibling job on this 1-core
+    # host) skews them past the window (GetKeyValue DEADLINE_EXCEEDED).
+    # Later collectives reuse the context created here, so compile skew
+    # no longer matters.
+    from jax.experimental import multihost_utils
+    multihost_utils.sync_global_devices("plank_multihost_gloo_warmup")
 
 sys.path.insert(0, "/root/repo")
 
