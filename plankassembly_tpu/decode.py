@@ -82,11 +82,29 @@ def greedy_decode(params, batch, dims: ModelDims, compute_dtype=jnp.bfloat16,
     prefix (data/packing.py), so cropping to a per-batch bucket (multiple of
     128 >= max real length, chosen by the caller via `pick_kv_bucket`) is
     exact and slashes the HBM traffic of per-step cross-attention K/V reads
-    — the decode loop's dominant cost.
+    — the decode loop's dominant cost. A bucket WIDER than the packed input
+    (e.g. a coarse-quantum ladder rung of 1280 over a 1199-wide dataset)
+    pads with masked PAD columns instead: masked positions are inert in
+    both encoder attention and cross-attention, and the Pallas kernels
+    require the 128-aligned width the bucket promises (an unpadded 1199
+    trips Mosaic's lane-tiling alignment check).
     """
     inputs = {k: v for k, v in batch.items() if k.startswith("input")}
-    if kv_bucket is not None and kv_bucket < inputs["input_value"].shape[1]:
+    width = inputs["input_value"].shape[1]
+    if kv_bucket is not None and kv_bucket < width:
         inputs = {k: v[:, :kv_bucket] for k, v in inputs.items()}
+    elif kv_bucket is not None and kv_bucket > width:
+        pad = kv_bucket - width
+        pad_token = dims.vocab_size - 1  # PAD is the last vocab id
+
+        def _pad(k, v):
+            fill = (jnp.ones((v.shape[0], pad), v.dtype) if k == "input_mask"
+                    else jnp.full((v.shape[0], pad), pad_token, v.dtype)
+                    if k == "input_value"
+                    else jnp.zeros((v.shape[0], pad), v.dtype))
+            return jnp.concatenate([v, fill], axis=1)
+
+        inputs = {k: _pad(k, v) for k, v in inputs.items()}
     memory = encode(params, inputs, dims, deterministic=True,
                     compute_dtype=compute_dtype, flash=True)
     return decode_from_memory(params, memory, inputs["input_mask"], dims,
@@ -131,6 +149,30 @@ def quantize_decoder_weights(params):
     return {**params, "decoder": dec, "heads": heads}
 
 
+def _pick_auto_impl(backend: str, dims: ModelDims, batch: int, *,
+                    kv_quant: bool, self_quant: bool, weight_quant: bool,
+                    prequantized: bool) -> str:
+    """Resolve cross_impl='auto' (policy factored out for unit tests).
+
+    TPU picks the persistent Pallas kernel exactly in the regime the
+    on-chip trained-serving measurement proved it wins at identical F1
+    (results/SERVING_r5.md): the caller opted into int8 cross-KV
+    (kv_quant), GQA layout, 256 <= B <= 512 (the measured band — above
+    it sits the B=1024 guard, below it the weights-dominated small-batch
+    regime where mxu+weight_quant is the tuned path) with B divisible
+    by 8 (smaller row blocks leave the MXU underfed), and no
+    quantization options the kernel doesn't implement. Everything else
+    stays on the XLA mxu schedule; non-TPU backends use the generic
+    einsum path."""
+    if backend != "tpu":
+        return "xla"
+    if (kv_quant and dims.kv_heads < dims.num_head
+            and not self_quant and not weight_quant and not prequantized
+            and 256 <= batch <= 512 and batch % 8 == 0):
+        return "persistent"
+    return "mxu"
+
+
 def _is_prequantized(w) -> bool:
     return isinstance(w, dict) and "q" in w
 
@@ -146,13 +188,22 @@ def decode_from_memory(params, memory, memory_mask, dims: ModelDims,
 
     cross_impl: "mxu" (block-diagonal-query MXU einsums, the XLA fast
     path), "persistent" (gen-3 Pallas kernel owning the WHOLE decode loop
-    in one launch, `ops/persistent_decode.py` — fastest full-bound path,
-    no early exit), "fused" (whole-decoder-layer Pallas kernel,
-    `ops/fused_decode.py` — 6 kernel launches per step instead of ~170
-    HLO ops), "kernel" (Pallas fused cross-attention only,
+    in one launch, `ops/persistent_decode.py` — fastest path, with
+    in-launch SMEM early exit since r4), "fused" (whole-decoder-layer
+    Pallas kernel, `ops/fused_decode.py` — 6 kernel launches per step
+    instead of ~170 HLO ops), "kernel" (Pallas fused cross-attention only,
     `ops/cross_decode.py`), "xla" (einsum fallback, any backend),
     "*-interpret" (Pallas interpret mode, for CPU parity tests), or
-    "auto" (mxu on TPU, xla elsewhere).
+    "auto": on TPU, the persistent kernel whenever the caller already
+    opted into its built-in semantics and the measured-win regime holds —
+    kv_quant truthy (int8 cross-KV accepted), GQA layout, 256 <= B <= 512
+    divisible by 8, no self_quant/weight_quant — else "mxu"; "xla" off
+    TPU. The persistent conditions mirror the on-chip trained-serving
+    measurement (results/SERVING_r5.md: 1.31-1.52x over mxu at F1 delta
+    1e-4 on the full 2600-program split, exit histograms identical), so
+    production serving (`serving.make_live_backend`, kv_quant=True) rides
+    the fast kernel by default while the reference-faithful eval default
+    (kv_quant unset) keeps the full-precision mxu path.
 
     self_quant: int8-quantize the SELF K/V cache (None = follow kv_quant,
     the historical coupling). The self cache is only ~50 MB/step of the
@@ -196,9 +247,12 @@ def decode_from_memory(params, memory, memory_mask, dims: ModelDims,
         # generic XLA einsum path and gets benchmarked under its own name
         raise ValueError(f"unknown cross_impl {cross_impl!r}; "
                          f"one of {_IMPLS}")
-    if cross_impl == "auto":
-        cross_impl = "mxu" if jax.default_backend() == "tpu" else "xla"
     prequantized = _is_prequantized(params["decoder"]["self_attn"]["wq"])
+    if cross_impl == "auto":
+        cross_impl = _pick_auto_impl(
+            jax.default_backend(), dims, memory.shape[0],
+            kv_quant=kv_quant, self_quant=bool(self_quant),
+            weight_quant=weight_quant, prequantized=prequantized)
     if weight_quant and not prequantized and cross_impl not in ("mxu", "xla"):
         warnings.warn(
             f"weight_quant is only implemented for the mxu/xla decode "
@@ -241,6 +295,17 @@ def decode_from_memory(params, memory, memory_mask, dims: ModelDims,
         from plankassembly_tpu.ops.persistent_decode import (
             persistent_greedy_decode,
         )
+        if memory.shape[1] % 128:
+            # Mosaic requires lane-tiling-aligned (128) HBM slices; an
+            # unaligned Li reaches here whenever the picked bucket clamps
+            # to the dataset's packed width (MAX_INPUT_LENGTH-1 = e.g.
+            # 1199). Pad with masked zero columns AFTER the encoder:
+            # masked keys are inert in cross-attention and zeros cannot
+            # inflate the int8 quantization scales.
+            pad = 128 - memory.shape[1] % 128
+            memory = jnp.pad(memory, ((0, 0), (0, pad), (0, 0)))
+            memory_mask = jnp.pad(memory_mask, ((0, 0), (0, pad)),
+                                  constant_values=True)
         B_ = memory.shape[0]
         rb = next(r for r in (16, 8, 4, 2, 1) if B_ % r == 0)
         return persistent_greedy_decode(

@@ -84,6 +84,56 @@ def test_kv_bucket_equivalence(params, inputs):
                                   np.asarray(cropped["samples"]))
 
 
+def test_kv_bucket_wider_than_input_pads(params, inputs):
+    """A bucket WIDER than the packed input (coarse-quantum ladder rung,
+    e.g. 1280 over a 1199-wide dataset) must pad with masked PAD columns
+    and reproduce the unbucketed decode exactly — masked positions are
+    inert. Regression: this case used to silently skip the crop, handing
+    the Pallas kernels an unaligned width that trips Mosaic's lane-tiling
+    check (r5)."""
+    width = int(inputs["input_value"].shape[1])
+    wide = width + 24
+    full = greedy_decode(params, inputs, DIMS, compute_dtype=jnp.float32)
+    padded = greedy_decode(params, inputs, DIMS, compute_dtype=jnp.float32,
+                           kv_bucket=wide)
+    np.testing.assert_array_equal(np.asarray(full["samples"]),
+                                  np.asarray(padded["samples"]))
+    np.testing.assert_array_equal(np.asarray(full["attach"]),
+                                  np.asarray(padded["attach"]))
+
+
+def test_pick_auto_impl_policy():
+    """cross_impl='auto' resolves to the persistent kernel exactly in the
+    measured-win regime (results/SERVING_r5.md) — TPU + GQA + kv_quant
+    opt-in + B <= 512, B % 8 == 0 — and to mxu/xla everywhere else."""
+    import dataclasses
+
+    from plankassembly_tpu.decode import _pick_auto_impl
+
+    gqa = ModelDims.from_config(dataclasses.replace(
+        CFG, MODEL=dataclasses.replace(CFG.MODEL, NUM_KV_HEAD=1)))
+    mha = DIMS  # tiny config is MHA (NUM_KV_HEAD unset)
+    kw = dict(kv_quant=True, self_quant=False, weight_quant=False,
+              prequantized=False)
+
+    assert _pick_auto_impl("tpu", gqa, 256, **kw) == "persistent"
+    assert _pick_auto_impl("tpu", gqa, 512, **kw) == "persistent"
+    # outside the regime -> mxu
+    assert _pick_auto_impl("tpu", gqa, 1024, **kw) == "mxu"   # B guard
+    assert _pick_auto_impl("tpu", gqa, 16, **kw) == "mxu"     # below band
+    assert _pick_auto_impl("tpu", gqa, 260, **kw) == "mxu"    # B % 8
+    assert _pick_auto_impl("tpu", mha, 256, **kw) == "mxu"    # MHA
+    assert _pick_auto_impl(  # eval default: full-precision KV stays mxu
+        "tpu", gqa, 256, **{**kw, "kv_quant": False}) == "mxu"
+    assert _pick_auto_impl(
+        "tpu", gqa, 256, **{**kw, "weight_quant": True}) == "mxu"
+    assert _pick_auto_impl(
+        "tpu", gqa, 256, **{**kw, "self_quant": True}) == "mxu"
+    assert _pick_auto_impl(
+        "tpu", gqa, 256, **{**kw, "prequantized": True}) == "mxu"
+    assert _pick_auto_impl("cpu", gqa, 256, **kw) == "xla"
+
+
 def test_pick_kv_bucket():
     from plankassembly_tpu.decode import pick_kv_bucket
     mask = np.ones((2, 600), bool)

@@ -48,6 +48,12 @@ def main():
                     "CROPS encoder memory for samples longer than N input "
                     "tokens — on the synthetic 26k test split 33%% exceed "
                     "512 (max 1121), which costs ~0.04 F1")
+    ap.add_argument("--quantum", type=int, default=128,
+                    help="bucket rounding for --bucket 0 (pick_kv_bucket "
+                    "quantum). 128 matches the eval loop exactly; 256 "
+                    "halves the number of compiled variants on a cold "
+                    "compile cache at the cost of up to 128 extra padded "
+                    "KV columns per batch (F1-neutral: padding is masked)")
     ap.add_argument("--split", default=None,
                     help="split file (default: the ckpt's DATASETS_TEST)")
     ap.add_argument("--root", default=None,
@@ -164,7 +170,8 @@ def main():
                       if hasattr(v, "shape")}
             inputs = {k: v for k, v in arrays.items()
                       if k.startswith("input")}
-            bucket = args.bucket or pick_kv_bucket(batch["input_mask"])
+            bucket = args.bucket or pick_kv_bucket(batch["input_mask"],
+                                                   quantum=args.quantum)
             if bucket not in seen_buckets:  # new variant pays a compile
                 seen_buckets.add(bucket)
                 t0 = time.perf_counter()
