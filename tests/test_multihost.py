@@ -34,11 +34,17 @@ def _run(num_procs: int, tmpdir: str, timeout: int = 540,
     """Launch the worker under `num_procs` coordinated processes; return the
     merged result JSONs keyed by process id.
 
-    One retry on failure: Gloo's CPU-collective context init has a fixed
-    ~30 s rendezvous window, and on this single-core container a
-    concurrent background job can skew the two workers' first-collective
-    arrival past it (GetKeyValue DEADLINE_EXCEEDED) — a load flake, not a
-    product failure (the same run passes in isolation)."""
+    One retry on failure, covering the two load-flake modes this
+    single-core container produces under concurrent background jobs
+    (neither is a product failure — the same run passes in isolation):
+
+    - rendezvous skew: Gloo's CPU-collective context init has a fixed
+      ~30 s window, and load can skew the two workers' first-collective
+      arrival past it (GetKeyValue DEADLINE_EXCEEDED);
+    - wall-clock starvation: the workers are alive but compile-bound and
+      blow the subprocess timeout — `communicate` raises TimeoutExpired,
+      which must be caught HERE (it used to escape before the retry
+      could fire); the retry doubles the window."""
     env_base = dict(os.environ)
     env_base.pop("_PLANK_DRYRUN_CHILD", None)
     env_base["XLA_FLAGS"] = " ".join(
@@ -56,7 +62,16 @@ def _run(num_procs: int, tmpdir: str, timeout: int = 540,
         procs.append(subprocess.Popen(
             [sys.executable, WORKER], env=env, cwd="/root/repo",
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True))
-    outs = [p.communicate(timeout=timeout)[0] for p in procs]
+    try:
+        outs = [p.communicate(timeout=timeout)[0] for p in procs]
+    except subprocess.TimeoutExpired:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+                p.communicate()
+        if not retries:
+            raise
+        return _run(num_procs, tmpdir, timeout * 2, retries - 1)
     if retries and any(p.returncode != 0 for p in procs):
         return _run(num_procs, tmpdir, timeout, retries - 1)
     for p, out in zip(procs, outs):
