@@ -30,6 +30,20 @@ B=1024 hung pre-first-run (>15 min, unmeasured). Full sweep in
 results/RUNS_r3.md; on-chip bf16 token agreement vs mxu 95.3%
 (rounding-tie divergence only).
 
+B=1024 HANG LOCALIZED (r5, tools/probe_b1024.py): the kernel LOWERS in
+2.5 s and COMPILES in 12.8 s at B=1024 rb=16 (probe JSON in
+results/ROUND5.md) — Mosaic/XLA compilation is NOT the hang; the wedge
+is in the FIRST EXECUTION of the compiled kernel. Execute-stage
+bisection was deliberately not run on the shared v5e chip: a
+mid-execution kill wedges the device ~25 min (r3), and every serving /
+bench capture rides the same chip. Expected-throughput math says a
+healthy B=1024 run would finish in <1 s (2x the 235 ms B=512 wall), so
+the >15 min stall is a runtime deadlock/livelock (most plausibly the
+manual DMA double-buffer semaphore chain at 64 grid blocks x 128 steps,
+or VMEM oversubscription at the 128 MB limit stalling the scoreboard),
+not slowness. The B <= 512 dispatch guard below stays; lift it only via
+PLANK_PERSISTENT_UNSAFE_LARGE_B=1 on a chip you can afford to wedge.
+
 Semantics match `decode.greedy_decode(kv_quant=True, self_quant=False)`
 at the token level (tests/test_persistent_decode.py): int8
 per-(layer,row,kv-head) cross K/V with the K scale folded into the
